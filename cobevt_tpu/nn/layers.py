@@ -1,0 +1,158 @@
+"""Common layers with torch-compatible numerics.
+
+These exist so that (a) weights exported from the PyTorch reference can be
+ported 1:1 (see cobevt_tpu/utils/torch_port.py) and (b) golden parity
+tests can compare activations closely.  Numerics that differ between
+torch and flax defaults are pinned here:
+
+  * BatchNorm: eps 1e-5, torch momentum 0.1  ->  flax momentum 0.9
+  * LayerNorm: eps 1e-5
+  * GELU: exact (erf) form, flax defaults to tanh approximation
+
+`torch_conv` / `batch_norm` / `layer_norm` are factories (not wrapper
+modules) so the flax parameter tree mirrors the torch attribute path
+exactly: torch ``layer1.0.conv1.weight`` lands at
+``params/layer1/0/conv1/kernel``.
+
+Everything is channels-last (NHWC): convolutions tile directly onto the
+MXU without layout transposes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def gelu(x):
+    """Exact GELU (torch nn.GELU default)."""
+    return nn.gelu(x, approximate=False)
+
+
+def torch_conv(features: int, kernel_size=(3, 3), strides=(1, 1), padding=0,
+               use_bias: bool = True, dtype=None, name=None) -> nn.Conv:
+    """2D conv on NHWC with torch-style integer padding."""
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    pad = padding
+    if isinstance(pad, int):
+        pad = ((pad, pad), (pad, pad))
+    elif isinstance(pad, (tuple, list)) and isinstance(pad[0], int):
+        pad = ((pad[0], pad[0]), (pad[1], pad[1]))
+    return nn.Conv(features, kernel_size=tuple(kernel_size),
+                   strides=tuple(strides), padding=pad, use_bias=use_bias,
+                   dtype=dtype, name=name)
+
+
+def batch_norm(epsilon: float = 1e-5, momentum: float = 0.9, dtype=None,
+               name=None) -> nn.BatchNorm:
+    """BatchNorm pinned to torch defaults.  Call with
+    ``bn(x, use_running_average=not train)``."""
+    return nn.BatchNorm(use_running_average=None, momentum=momentum,
+                        epsilon=epsilon, dtype=dtype, name=name)
+
+
+def layer_norm(dtype=None, name=None) -> nn.LayerNorm:
+    return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=name)
+
+
+class BasicBlock(nn.Module):
+    """ResNet v1 basic block (two 3x3 convs), torchvision-compatible."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = torch_conv(self.planes, 3, self.stride, 1, False,
+                         self.dtype, "conv1")(x)
+        out = batch_norm(dtype=self.dtype, name="bn1")(
+            out, use_running_average=not train)
+        out = nn.relu(out)
+        out = torch_conv(self.planes, 3, 1, 1, False, self.dtype,
+                         "conv2")(out)
+        out = batch_norm(dtype=self.dtype, name="bn2")(
+            out, use_running_average=not train)
+        if self.downsample:
+            # torch names: downsample.0 (conv), downsample.1 (bn)
+            identity = torch_conv(self.planes, 1, self.stride, 0, False,
+                                  self.dtype, "downsample_0")(x)
+            identity = batch_norm(dtype=self.dtype, name="downsample_1")(
+                identity, use_running_average=not train)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """ResNet bottleneck (1x1 -> 3x3 -> 1x1, expansion 4).
+
+    With ``planes = features // 4`` and no downsample this matches the
+    `ResNetBottleNeck` lambda used inside FAX
+    (reference opv2v/opencood/models/sub_modules/fax_modules.py:10).
+    """
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = torch_conv(self.planes, 1, 1, 0, False, self.dtype,
+                         "conv1")(x)
+        out = batch_norm(dtype=self.dtype, name="bn1")(
+            out, use_running_average=not train)
+        out = nn.relu(out)
+        out = torch_conv(self.planes, 3, self.stride, 1, False, self.dtype,
+                         "conv2")(out)
+        out = batch_norm(dtype=self.dtype, name="bn2")(
+            out, use_running_average=not train)
+        out = nn.relu(out)
+        out = torch_conv(self.planes * self.expansion, 1, 1, 0, False,
+                         self.dtype, "conv3")(out)
+        out = batch_norm(dtype=self.dtype, name="bn3")(
+            out, use_running_average=not train)
+        if self.downsample:
+            identity = torch_conv(self.planes * self.expansion, 1,
+                                  self.stride, 0, False, self.dtype,
+                                  "downsample_0")(x)
+            identity = batch_norm(dtype=self.dtype, name="downsample_1")(
+                identity, use_running_average=not train)
+        return nn.relu(out + identity)
+
+
+def pixel_unshuffle(x, factor: int = 2):
+    """NHWC pixel-unshuffle with torch channel ordering.
+
+    torch `PixelUnshuffle(r)` maps (C, H*r, W*r) -> (C*r*r, H, W) with
+    output channel index ``c*r*r + i*r + j`` for input offset (i, j);
+    we keep that ordering so ported weights of downstream convs line up.
+    """
+    B, H, W, C = x.shape
+    r = factor
+    x = x.reshape(B, H // r, r, W // r, r, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)       # B, H/r, W/r, C, r, r
+    return x.reshape(B, H // r, W // r, C * r * r)
+
+
+class MLP(nn.Module):
+    """Linear -> GELU -> Linear, matching the reference FAX MLP
+    (torch Sequential names 0/2 preserved for porting)."""
+
+    hidden: int
+    out: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="0")(x)
+        x = gelu(x)
+        return nn.Dense(self.out, dtype=self.dtype, name="2")(x)

@@ -1,0 +1,100 @@
+"""Multi-scale ResNet image encoder.
+
+Capability parity with `ResnetEncoder`
+(reference opv2v/opencood/models/backbones/resnet_ms.py:8): run a
+torchvision-style ResNet over every camera of every agent and return the
+feature-pyramid stages selected by ``id_pick``.
+
+TPU-first differences: NHWC layout, all (B, L, M) axes folded into one
+batch axis before the convs so the MXU sees one large batched conv, and
+the output shapes are computed analytically instead of probing with a
+dummy forward (shapes are static under jit anyway).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cobevt_tpu.nn.layers import BasicBlock, Bottleneck, batch_norm, torch_conv
+
+# (block type, per-stage depths, stage base widths)
+_SPECS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+_WIDTHS = (64, 128, 256, 512)
+
+
+class _Stage(nn.Module):
+    block: str
+    planes: int
+    depth: int
+    stride: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        Block = BasicBlock if self.block == "basic" else Bottleneck
+        expansion = 1 if self.block == "basic" else 4
+        for i in range(self.depth):
+            stride = self.stride if i == 0 else 1
+            needs_down = (i == 0 and
+                          (stride != 1 or
+                           x.shape[-1] != self.planes * expansion))
+            x = Block(self.planes, stride, downsample=needs_down,
+                      dtype=self.dtype, name=str(i))(x, train)
+        return x
+
+
+class ResNetEncoder(nn.Module):
+    """ResNet-{18,34,50,101,152} feature pyramid over multi-agent cameras.
+
+    Input:  (B, L, M, H, W, 3) images (agents L, cameras M, channels-last).
+    Output: list of (B, L, M, h_i, w_i, C_i) features for each stage in
+    ``id_pick`` (stage 0 = after layer1 at 1/4 resolution, stage 3 =
+    after layer4 at 1/32).
+    """
+
+    num_layers: int = 34
+    id_pick: Sequence[int] = (1, 2, 3)
+    dtype: Any = None
+
+    @staticmethod
+    def output_shapes(num_layers: int, id_pick, image_hw: Tuple[int, int]):
+        block, _ = _SPECS[num_layers]
+        expansion = 1 if block == "basic" else 4
+        H, W = image_hw
+        shapes = []
+        for i in range(4):
+            s = 4 * (2 ** i)
+            shapes.append((H // s, W // s, _WIDTHS[i] * expansion))
+        return [shapes[i] for i in id_pick]
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        block, depths = _SPECS[self.num_layers]
+        B, L, M, H, W, C = images.shape
+        x = images.reshape(B * L * M, H, W, C)
+
+        x = torch_conv(64, 7, 2, 3, False, self.dtype, "conv1")(x)
+        x = batch_norm(dtype=self.dtype, name="bn1")(
+            x, use_running_average=not train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
+
+        outs = []
+        for i in range(4):
+            stride = 1 if i == 0 else 2
+            x = _Stage(block, _WIDTHS[i], depths[i], stride,
+                       dtype=self.dtype, name=f"layer{i + 1}")(x, train)
+            outs.append(x)
+
+        picked = [outs[i] for i in self.id_pick]
+        return [f.reshape(B, L, M, *f.shape[1:]) for f in picked]

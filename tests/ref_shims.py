@@ -45,6 +45,87 @@ class Bottleneck(nn.Module):
         return self.relu(out + identity)
 
 
+class TorchBasicBlock(nn.Module):
+    """torchvision-compatible ResNet BasicBlock (expansion=1)."""
+
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class TorchResNet(nn.Module):
+    """Standard torchvision-style ResNet trunk (oracle for parity tests)."""
+
+    def __init__(self, block, depths):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make_layer(block, 64, depths[0], 1)
+        self.layer2 = self._make_layer(block, 128, depths[1], 2)
+        self.layer3 = self._make_layer(block, 256, depths[2], 2)
+        self.layer4 = self._make_layer(block, 512, depths[3], 2)
+
+    def _make_layer(self, block, planes, depth, stride):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * block.expansion:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * block.expansion, 1,
+                          stride=stride, bias=False),
+                nn.BatchNorm2d(planes * block.expansion))
+        layers = [block(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * block.expansion
+        for _ in range(1, depth):
+            layers.append(block(self.inplanes, planes))
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x0 = self.layer1(x)
+        x1 = self.layer2(x0)
+        x2 = self.layer3(x1)
+        x3 = self.layer4(x2)
+        return [x0, x1, x2, x3]
+
+
+def make_torch_resnet(num_layers):
+    depths = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
+    block = TorchBasicBlock if num_layers in (18, 34) else Bottleneck
+    return TorchResNet(block, depths[num_layers])
+
+
+def randomize_bn_stats(module, seed=0):
+    """Give BN layers non-trivial running stats so eval-mode parity is a
+    real test rather than mean-0/var-1 passthrough."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    for m in module.modules():
+        if isinstance(m, nn.BatchNorm2d) or isinstance(m, nn.BatchNorm1d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape,
+                                             generator=g) * 0.5)
+            m.running_var.copy_(
+                torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+
 def install_shapely_shim():
     """Stub `shapely.geometry.Polygon` — import-time only, never executed."""
     if "shapely" in sys.modules:
