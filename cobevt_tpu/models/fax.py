@@ -1,0 +1,467 @@
+"""FAX: fused axial attention camera->BEV transformer (SinBEVT core).
+
+Capability parity with reference
+opv2v/opencood/models/sub_modules/fax_modules.py (FAXModule :444,
+CrossViewSwapAttention :251, CrossWinAttention :179, BEVEmbedding :38,
+Attention :93).  Re-designed TPU-first:
+
+  * channels-last everywhere; window/grid partitions are pure
+    reshape+transpose, which XLA fuses into the attention einsums and
+    tiles onto the MXU;
+  * camera-geometry embeddings (ray directions, BEV world grid) are
+    computed with batched einsums instead of per-tensor conv plumbing;
+  * all shapes static; the BEV/image grids are compile-time constants.
+
+Parameter names mirror the torch attribute paths so reference
+checkpoints port mechanically (cobevt_tpu/utils/torch_port.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from einops import rearrange, repeat
+
+from cobevt_tpu.geometry.transforms import generate_grid, get_view_matrix
+from cobevt_tpu.nn.layers import (
+    Bottleneck,
+    batch_norm,
+    gelu,
+    layer_norm,
+    mlp_seq,
+    pixel_unshuffle,
+    torch_conv,
+)
+
+
+# ---------------------------------------------------------------------------
+# static grid helpers
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def bev_world_grid(bev_height: int, bev_width: int, h_meters: float,
+                   w_meters: float, offset: float, scale: int) -> np.ndarray:
+    """Ego-frame (x, y) world coordinates of each BEV cell at one pyramid
+    scale, shape (h, w, 2).  Mirrors `BEVEmbedding.__init__` grids
+    (reference fax_modules.py:62-81)."""
+    V_inv = np.linalg.inv(
+        get_view_matrix(bev_height, bev_width, h_meters, w_meters, offset))
+    h, w = bev_height // scale, bev_width // scale
+    grid = generate_grid(h, w)                      # (3, h, w) in [0,1]
+    grid[0] *= bev_width
+    grid[1] *= bev_height
+    world = np.einsum("ij,jhw->ihw", V_inv.astype(np.float64), grid)
+    return np.ascontiguousarray(
+        world[:2].transpose(1, 2, 0).astype(np.float32))  # (h, w, 2)
+
+
+@functools.lru_cache(maxsize=None)
+def image_plane_grid(feat_height: int, feat_width: int, image_height: int,
+                     image_width: int) -> np.ndarray:
+    """Pixel-coordinate grid of the feature map, shape (h, w, 3)."""
+    plane = generate_grid(feat_height, feat_width)  # (3, h, w)
+    plane[0] *= image_width
+    plane[1] *= image_height
+    return np.ascontiguousarray(plane.transpose(1, 2, 0).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def rel_pos_indices_2d(window: int) -> np.ndarray:
+    """(w^2, w^2) index table into a (2w-1)^2 relative-position embedding."""
+    pos = np.arange(window)
+    gy, gx = np.meshgrid(pos, pos, indexing="ij")
+    grid = np.stack([gy.ravel(), gx.ravel()], axis=-1)     # (w^2, 2)
+    rel = grid[:, None] - grid[None, :] + window - 1
+    return (rel[..., 0] * (2 * window - 1) + rel[..., 1]).astype(np.int32)
+
+
+def window_partition(x, wh: int, ww: int):
+    """(…, H, W, d) -> (…, H/wh, W/ww, wh, ww, d) local windows."""
+    return rearrange(x, "... (x w1) (y w2) d -> ... x y w1 w2 d",
+                     w1=wh, w2=ww)
+
+
+def window_reverse(x):
+    return rearrange(x, "... x y w1 w2 d -> ... (x w1) (y w2) d")
+
+
+def grid_partition(x, wh: int, ww: int):
+    """(…, H, W, d) -> (…, H/wh, W/ww, wh, ww, d) strided 'grid' windows:
+    element (w1, w2) of cell (x, y) comes from pixel (w1*X + x, w2*Y + y).
+    This is the transposed partition FAX uses for its global branch
+    (reference fax_modules.py:420-424)."""
+    return rearrange(x, "... (w1 x) (w2 y) d -> ... x y w1 w2 d",
+                     w1=wh, w2=ww)
+
+
+def grid_reverse(x):
+    return rearrange(x, "... x y w1 w2 d -> ... (w1 x) (w2 y) d")
+
+
+def pad_divisible(x, wh: int, ww: int):
+    """Zero-pad trailing spatial dims of (..., H, W, d) to window multiples."""
+    H, W = x.shape[-3], x.shape[-2]
+    ph = (-H) % wh
+    pw = (-W) % ww
+    if ph == 0 and pw == 0:
+        return x
+    pads = [(0, 0)] * (x.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
+    return jnp.pad(x, pads)
+
+
+# ---------------------------------------------------------------------------
+# modules
+# ---------------------------------------------------------------------------
+
+class BEVEmbedding(nn.Module):
+    """Learned BEV prior queries (reference fax_modules.py:38).
+
+    The learned feature tensor keeps the torch (dim, H, W) layout so the
+    reference checkpoint ports without a transpose; we transpose once per
+    forward (free under XLA)."""
+
+    dim: int
+    sigma: float
+    bev_height: int
+    bev_width: int
+    h_meters: float
+    w_meters: float
+    offset: float
+    upsample_scales: Sequence[int]
+
+    def world_grid(self, index: int) -> jnp.ndarray:
+        return jnp.asarray(bev_world_grid(
+            self.bev_height, self.bev_width, self.h_meters, self.w_meters,
+            self.offset, self.upsample_scales[index]))
+
+    @nn.compact
+    def __call__(self):
+        h = self.bev_height // self.upsample_scales[0]
+        w = self.bev_width // self.upsample_scales[0]
+        feats = self.param(
+            "learned_features",
+            lambda key: self.sigma * jax.random.normal(
+                key, (self.dim, h, w), jnp.float32))
+        return feats.transpose(1, 2, 0)       # (H, W, dim)
+
+
+class SelfAttention(nn.Module):
+    """Windowed self-attention with 2D relative-position bias over the
+    final BEV map (reference fax_modules.py:93)."""
+
+    dim: int
+    dim_head: int = 32
+    dropout: float = 0.0
+    window_size: int = 25
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, d = x.shape
+        heads = self.dim // self.dim_head
+        tokens = x.reshape(B, H * W, d)
+        qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype,
+                       name="to_qkv")(tokens)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(B, H * W, heads, self.dim_head)
+
+        q = split_heads(q) * (self.dim_head ** -0.5)
+        k = split_heads(k)
+        v = split_heads(v)
+        sim = jnp.einsum("bihd,bjhd->bhij", q, k,
+                         preferred_element_type=jnp.float32)
+
+        idx = jnp.asarray(rel_pos_indices_2d(self.window_size))
+        bias = nn.Embed((2 * self.window_size - 1) ** 2, heads,
+                        name="rel_pos_bias")(idx)        # (i, j, heads)
+        sim = sim + bias.transpose(2, 0, 1)[None]
+
+        attn = jax.nn.softmax(sim, axis=-1)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, v.astype(sim.dtype))
+        out = out.reshape(B, H, W, heads * self.dim_head)
+        out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                       name="to_out_0")(out)
+        return nn.Dropout(self.dropout, deterministic=not train)(out)
+
+
+class CrossWinAttention(nn.Module):
+    """Windowed cross-attention: each BEV query window attends to the
+    matching (local or grid) window of every camera's features, heads and
+    windows batched into single einsums (reference fax_modules.py:179)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    qkv_bias: bool
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, q, k, v, skip=None):
+        """q: (b, nq, X, Y, W1, W2, d); k, v: (b, n, X, Y, w1, w2, d).
+        Returns (b, X, Y, W1, W2, d)."""
+        b, nq, X, Y, W1, W2, _ = q.shape
+        _, n, _, _, w1, w2, _ = k.shape
+
+        q = rearrange(q, "b n x y w1 w2 d -> b (x y) (n w1 w2) d")
+        k = rearrange(k, "b n x y w1 w2 d -> b (x y) (n w1 w2) d")
+        v = rearrange(v, "b n x y w1 w2 d -> b (x y) (n w1 w2) d")
+
+        def proj(t, name):
+            t = layer_norm(dtype=self.dtype, name=f"{name}_0")(t)
+            return nn.Dense(self.heads * self.dim_head,
+                            use_bias=self.qkv_bias, dtype=self.dtype,
+                            name=f"{name}_1")(t)
+
+        q = proj(q, "to_q")
+        k = proj(k, "to_k")
+        v = proj(v, "to_v")
+
+        def split_heads(t):
+            return t.reshape(*t.shape[:-1], self.heads, self.dim_head)
+
+        q = split_heads(q) * (self.dim_head ** -0.5)
+        k = split_heads(k)
+        v = split_heads(v)
+
+        sim = jnp.einsum("blqhd,blkhd->blhqk", q, k,
+                         preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("blhqk,blkhd->blqhd", attn, v.astype(sim.dtype))
+        out = out.reshape(*out.shape[:-2], self.heads * self.dim_head)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+        out = rearrange(out, "b (x y) (n w1 w2) d -> b n x y w1 w2 d",
+                        x=X, y=Y, w1=W1, w2=W2)
+        out = out.mean(axis=1)
+        if skip is not None:
+            out = out + skip
+        return out
+
+
+class CrossViewSwapAttention(nn.Module):
+    """One FAX pyramid stage: camera-geometry embeds + local-window
+    cross-attention + grid (global) cross-attention, each followed by an
+    MLP (reference fax_modules.py:251)."""
+
+    feat_height: int
+    feat_width: int
+    feat_dim: int
+    dim: int
+    image_height: int
+    image_width: int
+    qkv_bias: bool
+    heads: int
+    dim_head: int
+    q_win_size: Tuple[int, int]
+    feat_win_size: Tuple[int, int]
+    bev_embed_flag: bool
+    no_image_features: bool = False
+    skip: bool = True
+    norm_input: bool = False     # nuScenes variant normalizes input images
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, world, feature, I_inv, E_inv, train: bool = False):
+        """x: (b, H, W, dim) current BEV state;
+        world: (H, W, 2) ego-frame cell coordinates (None if no bev embed);
+        feature: (b, n, h, w, feat_dim) camera features;
+        I_inv: (b, n, 3, 3); E_inv: (b, n, 4, 4)."""
+        b, n, h, w, _ = feature.shape
+        H, W, _ = x.shape[1:]
+
+        pixel = jnp.asarray(image_plane_grid(
+            self.feat_height, self.feat_width, self.image_height,
+            self.image_width))                                   # (h, w, 3)
+
+        # camera-center embedding: last column of E_inv
+        c = E_inv[..., -1]                                       # (b, n, 4)
+        c_embed = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                           name="cam_embed")(c)                  # (b, n, d)
+
+        # per-pixel ray embedding: unproject pixels, then E_inv
+        cam = jnp.einsum("bnij,hwj->bnhwi", I_inv, pixel)        # (b,n,h,w,3)
+        cam = jnp.concatenate([cam, jnp.ones_like(cam[..., :1])], -1)
+        d_vec = jnp.einsum("bnij,bnhwj->bnhwi", E_inv, cam)      # (b,n,h,w,4)
+        d_embed = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                           name="img_embed")(d_vec)              # (b,n,h,w,d)
+
+        img_embed = d_embed - c_embed[:, :, None, None]
+        img_embed = img_embed / (jnp.linalg.norm(
+            img_embed, axis=-1, keepdims=True) + 1e-7)
+
+        if self.bev_embed_flag:
+            w_embed = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                               name="bev_embed")(world)          # (H, W, d)
+            bev_embed = w_embed[None, None] - c_embed[:, :, None, None]
+            bev_embed = bev_embed / (jnp.linalg.norm(
+                bev_embed, axis=-1, keepdims=True) + 1e-7)       # (b,n,H,W,d)
+            query = bev_embed + x[:, None]
+        else:
+            query = x[:, None]                                   # (b,1,H,W,d)
+
+        def bn_relu_conv(t, name):
+            flat = t.reshape(b * n, h, w, -1)
+            flat = batch_norm(dtype=self.dtype, name=f"{name}_0")(
+                flat, use_running_average=not train)
+            flat = nn.relu(flat)
+            flat = torch_conv(self.dim, 1, 1, 0, False, self.dtype,
+                              f"{name}_2")(flat)
+            return flat.reshape(b, n, h, w, self.dim)
+
+        if self.no_image_features:
+            key = img_embed
+        else:
+            key = img_embed + bn_relu_conv(feature, "feature_proj")
+        val = bn_relu_conv(feature, "feature_linear")
+
+        key = pad_divisible(key, *self.feat_win_size)
+        val = pad_divisible(val, *self.feat_win_size)
+
+        # --- local-window cross attention ---
+        qw = window_partition(query, *self.q_win_size)
+        kw = window_partition(key, *self.feat_win_size)
+        vw = window_partition(val, *self.feat_win_size)
+        skip1 = (window_partition(x, *self.q_win_size)
+                 if self.skip else None)
+        query = CrossWinAttention(self.dim, self.heads, self.dim_head,
+                                  self.qkv_bias, dtype=self.dtype,
+                                  name="cross_win_attend_1")(qw, kw, vw,
+                                                             skip1)
+        query = window_reverse(query)                         # (b, H, W, d)
+        query = query + mlp_seq(
+            layer_norm(dtype=self.dtype, name="prenorm_1")(query),
+            2 * self.dim, self.dim, self.dtype, "mlp_1")
+
+        x_skip = query
+
+        # --- grid (global) cross attention ---
+        qg = window_partition(
+            repeat(query, "b H W d -> b n H W d", n=n), *self.q_win_size)
+        kg = grid_partition(window_reverse(kw), *self.feat_win_size)
+        vg = grid_partition(window_reverse(vw), *self.feat_win_size)
+        skip2 = (window_partition(x_skip, *self.q_win_size)
+                 if self.skip else None)
+        query = CrossWinAttention(self.dim, self.heads, self.dim_head,
+                                  self.qkv_bias, dtype=self.dtype,
+                                  name="cross_win_attend_2")(qg, kg, vg,
+                                                             skip2)
+        query = window_reverse(query)
+        query = query + mlp_seq(
+            layer_norm(dtype=self.dtype, name="prenorm_2")(query),
+            2 * self.dim, self.dim, self.dtype, "mlp_2")
+
+        return layer_norm(dtype=self.dtype, name="postnorm")(query)
+
+
+@dataclasses.dataclass(frozen=True)
+class FAXConfig:
+    """Static configuration for the FAX pyramid (mirrors the `fax:` block
+    of reference hypes, e.g. opv2v/opencood/hypes_yaml/opcamera/
+    corpbevt.yaml:65-95)."""
+
+    dim: Tuple[int, ...] = (128, 128, 128)
+    middle: Tuple[int, ...] = (2, 2, 2)
+    # backbone feature shapes per stage: (h, w, c)
+    backbone_output_shape: Tuple[Tuple[int, int, int], ...] = ()
+    image_height: int = 512
+    image_width: int = 512
+    qkv_bias: bool = True
+    heads: Tuple[int, ...] = (4, 4, 4)
+    dim_head: Tuple[int, ...] = (32, 32, 32)
+    q_win_size: Tuple[Tuple[int, int], ...] = ((16, 16), (16, 16), (32, 32))
+    feat_win_size: Tuple[Tuple[int, int], ...] = ((8, 8), (8, 8), (16, 16))
+    bev_embedding_flag: Tuple[bool, ...] = (True, False, False)
+    no_image_features: bool = False
+    skip: bool = True
+    # bev embedding
+    sigma: float = 1.0
+    bev_height: int = 256
+    bev_width: int = 256
+    h_meters: float = 100.0
+    w_meters: float = 100.0
+    offset: float = 0.0
+    upsample_scales: Tuple[int, ...] = (2, 4, 8)
+    # final windowed self attention
+    self_attn_dim_head: int = 32
+    self_attn_dropout: float = 0.1
+    self_attn_window: int = 32
+    use_self_attn: bool = True
+
+
+class FAXModule(nn.Module):
+    """3-stage FAX pyramid: BEV prior -> per-stage cross-view swap
+    attention + bottleneck convs + pixel-unshuffle downsample -> windowed
+    self-attention (reference fax_modules.py:444)."""
+
+    config: FAXConfig
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, features, intrinsic, extrinsic, train: bool = False):
+        """features: list of (b, l, n, h, w, c) per pyramid stage;
+        intrinsic: (b, l, n, 3, 3); extrinsic: (b, l, n, 4, 4).
+        Returns (b, l, H, W, dim[-1])."""
+        cfg = self.config
+        b, l, n = features[0].shape[:3]
+
+        I_inv = jnp.linalg.inv(
+            intrinsic.reshape(b * l, n, 3, 3).astype(jnp.float32))
+        E_inv = extrinsic.reshape(b * l, n, 4, 4).astype(jnp.float32)
+
+        bev = BEVEmbedding(cfg.dim[0], cfg.sigma, cfg.bev_height,
+                           cfg.bev_width, cfg.h_meters, cfg.w_meters,
+                           cfg.offset, cfg.upsample_scales,
+                           name="bev_embedding")
+        x = repeat(bev(), "H W d -> b H W d", b=b * l)
+
+        for i, feature in enumerate(features):
+            fh, fw, fc = cfg.backbone_output_shape[i]
+            feat = feature.reshape(b * l, n, fh, fw, fc)
+            world = bev.world_grid(i) if cfg.bev_embedding_flag[i] else None
+            x = CrossViewSwapAttention(
+                fh, fw, fc, cfg.dim[i], cfg.image_height, cfg.image_width,
+                cfg.qkv_bias, cfg.heads[i], cfg.dim_head[i],
+                tuple(cfg.q_win_size[i]), tuple(cfg.feat_win_size[i]),
+                cfg.bev_embedding_flag[i], cfg.no_image_features, cfg.skip,
+                dtype=self.dtype, name=f"cross_views_{i}")(
+                    x, world, feat, I_inv, E_inv, train)
+
+            # bottleneck conv stack (torch: layers.<i> = Sequential)
+            for j in range(cfg.middle[i]):
+                x = Bottleneck(cfg.dim[i] // 4, dtype=self.dtype,
+                               name=f"layers_{i}_{j}")(x, train)
+
+            if i < len(features) - 1:
+                x = self._downsample(x, cfg.dim[i], cfg.dim[i + 1], i, train)
+
+        if cfg.use_self_attn:
+            x = SelfAttention(cfg.dim[-1], cfg.self_attn_dim_head,
+                              cfg.self_attn_dropout, cfg.self_attn_window,
+                              dtype=self.dtype, name="self_attn")(x, train)
+        H, W = x.shape[1:3]
+        return x.reshape(b, l, H, W, -1)
+
+    def _downsample(self, x, dim_in, dim_out, i, train):
+        """conv3x3 -> pixel-unshuffle(2) -> conv3x3 -> BN -> ReLU ->
+        conv1x1 -> BN (reference fax_modules.py:476-489; torch path
+        downsample_layers.<i>.0.<j>)."""
+        p = f"downsample_layers_{i}_0"
+        x = torch_conv(dim_in // 4, 3, 1, 1, False, self.dtype,
+                       f"{p}_0")(x)
+        x = pixel_unshuffle(x, 2)
+        x = torch_conv(dim_out, 3, 1, 1, False, self.dtype, f"{p}_2")(x)
+        x = batch_norm(dtype=self.dtype, name=f"{p}_3")(
+            x, use_running_average=not train)
+        x = nn.relu(x)
+        x = torch_conv(dim_out, 1, 1, 0, False, self.dtype, f"{p}_5")(x)
+        return batch_norm(dtype=self.dtype, name=f"{p}_6")(
+            x, use_running_average=not train)

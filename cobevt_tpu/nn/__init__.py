@@ -6,7 +6,7 @@ from cobevt_tpu.nn.layers import (
     layer_norm,
     BasicBlock,
     Bottleneck,
-    MLP,
+    mlp_seq,
     pixel_unshuffle,
     gelu,
 )

@@ -143,16 +143,10 @@ def pixel_unshuffle(x, factor: int = 2):
     return x.reshape(B, H // r, W // r, C * r * r)
 
 
-class MLP(nn.Module):
-    """Linear -> GELU -> Linear, matching the reference FAX MLP
-    (torch Sequential names 0/2 preserved for porting)."""
-
-    hidden: int
-    out: int
-    dtype: Any = None
-
-    @nn.compact
-    def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="0")(x)
-        x = gelu(x)
-        return nn.Dense(self.out, dtype=self.dtype, name="2")(x)
+def mlp_seq(x, hidden: int, out: int, dtype=None, prefix: str = "mlp"):
+    """Linear -> GELU -> Linear matching the reference FAX MLP; must be
+    called inside an `@nn.compact` parent so the Dense layers land at the
+    flattened torch Sequential names `<prefix>_0` / `<prefix>_2`."""
+    x = nn.Dense(hidden, dtype=dtype, name=f"{prefix}_0")(x)
+    x = gelu(x)
+    return nn.Dense(out, dtype=dtype, name=f"{prefix}_2")(x)

@@ -31,25 +31,18 @@ _SPECS = {
 _WIDTHS = (64, 128, 256, 512)
 
 
-class _Stage(nn.Module):
-    block: str
-    planes: int
-    depth: int
-    stride: int
-    dtype: Any = None
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        Block = BasicBlock if self.block == "basic" else Bottleneck
-        expansion = 1 if self.block == "basic" else 4
-        for i in range(self.depth):
-            stride = self.stride if i == 0 else 1
-            needs_down = (i == 0 and
-                          (stride != 1 or
-                           x.shape[-1] != self.planes * expansion))
-            x = Block(self.planes, stride, downsample=needs_down,
-                      dtype=self.dtype, name=str(i))(x, train)
-        return x
+def _stage(x, block, planes, depth, stride, dtype, prefix, train):
+    """One ResNet stage; blocks named `<prefix>_<j>` (flattened torch
+    `layer<i>.<j>` path)."""
+    Block = BasicBlock if block == "basic" else Bottleneck
+    expansion = 1 if block == "basic" else 4
+    for j in range(depth):
+        s = stride if j == 0 else 1
+        needs_down = (j == 0 and
+                      (s != 1 or x.shape[-1] != planes * expansion))
+        x = Block(planes, s, downsample=needs_down, dtype=dtype,
+                  name=f"{prefix}_{j}")(x, train)
+    return x
 
 
 class ResNetEncoder(nn.Module):
@@ -92,8 +85,8 @@ class ResNetEncoder(nn.Module):
         outs = []
         for i in range(4):
             stride = 1 if i == 0 else 2
-            x = _Stage(block, _WIDTHS[i], depths[i], stride,
-                       dtype=self.dtype, name=f"layer{i + 1}")(x, train)
+            x = _stage(x, block, _WIDTHS[i], depths[i], stride,
+                       self.dtype, f"layer{i + 1}", train)
             outs.append(x)
 
         picked = [outs[i] for i in self.id_pick]

@@ -40,17 +40,49 @@ def _set(tree: dict, path, leaf):
 
 
 def _default_rename(path):
-    """Merge torch `downsample.<i>` into flax `downsample_<i>`."""
+    """Flatten torch Sequential/ModuleList digit indices into their parent
+    segment: ``layers.0.0.conv1`` -> ``layers_0_0 / conv1``.  Our flax
+    modules never use bare-digit child names, so this is bijective."""
     out = []
-    i = 0
-    while i < len(path):
-        if path[i] == "downsample" and i + 1 < len(path) and \
-                path[i + 1].isdigit():
-            out.append(f"downsample_{path[i + 1]}")
-            i += 2
+    for seg in path:
+        if seg.isdigit() and out:
+            out[-1] = f"{out[-1]}_{seg}"
         else:
-            out.append(path[i])
-            i += 1
+            out.append(seg)
+    return out
+
+
+def _leaves_match(a_shape, b_shape):
+    return int(np.prod(a_shape)) == int(np.prod(b_shape))
+
+
+def fit_to_template(converted: dict, template: dict, path=()) -> dict:
+    """Reshape converted leaves to the template's leaf shapes.
+
+    Handles rank mismatches like a torch 1x1 Conv2d ported as (1,1,I,O)
+    where the flax module uses a Dense (I,O).  Raises with the offending
+    path on any missing key or element-count mismatch — this doubles as a
+    structural check that the port is complete.
+    """
+    out = {}
+    for key, tval in template.items():
+        if key not in converted:
+            raise KeyError(f"missing in torch port: {'/'.join(path + (key,))}")
+        cval = converted[key]
+        if isinstance(tval, dict):
+            out[key] = fit_to_template(cval, tval, path + (key,))
+        else:
+            cshape = np.shape(cval)
+            tshape = np.shape(tval)
+            if not _leaves_match(cshape, tshape):
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(path + (key,))}: "
+                    f"torch {cshape} vs flax {tshape}")
+            out[key] = np.asarray(cval).reshape(tshape)
+    extra = set(converted) - set(template)
+    if extra:
+        raise KeyError(
+            f"unexpected torch keys at {'/'.join(path)}: {sorted(extra)}")
     return out
 
 
