@@ -1,0 +1,247 @@
+"""FuseBEVT: masked window<->grid attention over (agent, H, W) BEV stacks.
+
+Capability parity with `SwapFusionEncoder`
+(reference opv2v/opencood/models/fusion_modules/swap_fusion_modules.py:233):
+MaxViT-style alternating local-window and strided-grid attention where each
+token attends across *all agents* within its window, with a 3D
+relative-position bias and key-side masking of padded/out-of-FOV agents.
+
+TPU-first: the (agent, w1, w2) token axes are flattened into a single
+attention token dimension per window so every window is one MXU-friendly
+einsum; masks ride along as an additive bias.  Layout is channels-last;
+the canonical mask is (B, L, H, W) (reference uses (B, H, W, 1, L)).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from einops import rearrange
+
+from cobevt_tpu.nn.layers import gelu, layer_norm
+
+NEG_INF = -1e9
+
+
+@functools.lru_cache(maxsize=None)
+def rel_pos_indices_3d(agents: int, wh: int, ww: int) -> np.ndarray:
+    """(T, T) index table into a (2L-1)(2wh-1)(2ww-1) embedding, where
+    T = agents*wh*ww (reference swap_fusion_modules.py:62-83)."""
+    coords = np.stack(np.meshgrid(np.arange(agents), np.arange(wh),
+                                  np.arange(ww), indexing="ij"))
+    flat = coords.reshape(3, -1)                       # (3, T)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[..., 0] += agents - 1
+    rel[..., 1] += wh - 1
+    rel[..., 2] += ww - 1
+    rel[..., 0] *= (2 * wh - 1) * (2 * ww - 1)
+    rel[..., 1] *= (2 * ww - 1)
+    return rel.sum(-1).astype(np.int32)
+
+
+class FusionAttention(nn.Module):
+    """Attention across (agent, window) tokens with 3D rel-pos bias
+    (reference swap_fusion_modules.py:13)."""
+
+    dim: int
+    dim_head: int = 32
+    dropout: float = 0.0
+    agent_size: int = 6
+    window_size: int = 7
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        """x: (b, l, X, Y, w1, w2, d); mask: (b, X, Y, w1, w2, l) or None.
+        Returns same shape as x."""
+        b, l, X, Y, w1, w2, d = x.shape
+        heads = self.dim // self.dim_head
+        T = l * w1 * w2
+
+        t = rearrange(x, "b l x y w1 w2 d -> b (x y) (l w1 w2) d")
+        qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype,
+                       name="to_qkv")(t)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(z):
+            return z.reshape(b, X * Y, T, heads, self.dim_head)
+
+        q = split_heads(q) * (self.dim_head ** -0.5)
+        k = split_heads(k)
+        v = split_heads(v)
+        sim = jnp.einsum("bwihd,bwjhd->bwhij", q, k,
+                         preferred_element_type=jnp.float32)
+
+        idx = jnp.asarray(rel_pos_indices_3d(self.agent_size,
+                                             self.window_size,
+                                             self.window_size))
+        table_size = ((2 * self.agent_size - 1) *
+                      (2 * self.window_size - 1) *
+                      (2 * self.window_size - 1))
+        bias = nn.Embed(table_size, heads,
+                        name="relative_position_bias_table")(idx)
+        sim = sim + bias.transpose(2, 0, 1)[None, None]
+
+        if mask is not None:
+            key_mask = rearrange(mask, "b x y w1 w2 l -> b (x y) (l w1 w2)")
+            sim = sim + jnp.where(key_mask[:, :, None, None, :] == 0,
+                                  NEG_INF, 0.0).astype(sim.dtype)
+
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bwhij,bwjhd->bwihd", attn, v.astype(sim.dtype))
+        out = out.reshape(b, X * Y, T, heads * self.dim_head)
+        out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                       name="to_out_0")(out)
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return rearrange(out, "b (x y) (l w1 w2) d -> b l x y w1 w2 d",
+                         x=X, y=Y, l=l, w1=w1, w2=w2)
+
+
+class FeedForward(nn.Module):
+    """Linear -> GELU -> Dropout -> Linear -> Dropout (torch Sequential
+    names net.0 / net.3, reference base_transformer.py:112)."""
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="net_0")(x)
+        x = gelu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="net_3")(x)
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+class _PreNormAttn(nn.Module):
+    """x + Attn(LN(x)) (reference base_transformer.py:102)."""
+
+    dim: int
+    dim_head: int
+    dropout: float
+    agent_size: int
+    window_size: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        y = layer_norm(dtype=self.dtype, name="norm")(x)
+        y = FusionAttention(self.dim, self.dim_head, self.dropout,
+                            self.agent_size, self.window_size,
+                            dtype=self.dtype, name="fn")(y, mask, train)
+        return y + x
+
+
+class _PreNormFFD(nn.Module):
+    dim: int
+    mlp_dim: int
+    dropout: float
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = layer_norm(dtype=self.dtype, name="norm")(x)
+        y = FeedForward(self.dim, self.mlp_dim, self.dropout,
+                        dtype=self.dtype, name="fn")(y, train)
+        return y + x
+
+
+class SwapFusionBlock(nn.Module):
+    """window attention -> FFD -> grid attention -> FFD
+    (reference SwapFusionBlockMask :131 / SwapFusionBlock :195; the
+    unmasked variant is just ``mask=None``)."""
+
+    input_dim: int
+    mlp_dim: int
+    dim_head: int
+    window_size: int
+    agent_size: int
+    dropout: float
+    masked: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        """x: (B, L, H, W, d); mask: (B, L, H, W) or None."""
+        w = self.window_size
+        # torch names: masked variant has named attributes, unmasked wraps
+        # everything in a Sequential called `block` (indices 1/2/5/6)
+        if self.masked:
+            names = ("window_attention", "window_ffd",
+                     "grid_attention", "grid_ffd")
+        else:
+            names = ("block_1", "block_2", "block_5", "block_6")
+
+        def win(z):
+            return rearrange(z, "b l (x w1) (y w2) d -> b l x y w1 w2 d",
+                             w1=w, w2=w)
+
+        def win_mask(m):
+            return rearrange(m, "b l (x w1) (y w2) -> b x y w1 w2 l",
+                             w1=w, w2=w)
+
+        def grid(z):
+            return rearrange(z, "b l (w1 x) (w2 y) d -> b l x y w1 w2 d",
+                             w1=w, w2=w)
+
+        def grid_mask(m):
+            return rearrange(m, "b l (w1 x) (w2 y) -> b x y w1 w2 l",
+                             w1=w, w2=w)
+
+        xw = win(x)
+        xw = _PreNormAttn(self.input_dim, self.dim_head, self.dropout,
+                          self.agent_size, self.window_size,
+                          dtype=self.dtype, name=names[0])(
+            xw, None if mask is None else win_mask(mask), train)
+        xw = _PreNormFFD(self.input_dim, self.mlp_dim, self.dropout,
+                         dtype=self.dtype, name=names[1])(xw, train)
+        x = rearrange(xw, "b l x y w1 w2 d -> b l (x w1) (y w2) d")
+
+        xg = grid(x)
+        xg = _PreNormAttn(self.input_dim, self.dim_head, self.dropout,
+                          self.agent_size, self.window_size,
+                          dtype=self.dtype, name=names[2])(
+            xg, None if mask is None else grid_mask(mask), train)
+        xg = _PreNormFFD(self.input_dim, self.mlp_dim, self.dropout,
+                         dtype=self.dtype, name=names[3])(xg, train)
+        return rearrange(xg, "b l x y w1 w2 d -> b l (w1 x) (w2 y) d")
+
+
+class SwapFusionEncoder(nn.Module):
+    """depth x SwapFusionBlock, then mean-pool over agents + LN + Linear
+    head (reference swap_fusion_modules.py:233)."""
+
+    input_dim: int = 128
+    mlp_dim: int = 256
+    agent_size: int = 5
+    window_size: int = 8
+    dim_head: int = 32
+    dropout: float = 0.1
+    depth: int = 3
+    mask: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        """x: (B, L, H, W, d); mask: (B, L, H, W).
+        Returns fused (B, H, W, d)."""
+        if not self.mask:
+            mask = None
+        for i in range(self.depth):
+            x = SwapFusionBlock(self.input_dim, self.mlp_dim, self.dim_head,
+                                self.window_size, self.agent_size,
+                                self.dropout, masked=self.mask,
+                                dtype=self.dtype,
+                                name=f"layers_{i}")(x, mask, train)
+        x = x.mean(axis=1)      # mean over agents (reference mlp_head Reduce)
+        x = layer_norm(dtype=self.dtype, name="mlp_head_2")(x)
+        return nn.Dense(self.input_dim, dtype=self.dtype,
+                        name="mlp_head_3")(x)

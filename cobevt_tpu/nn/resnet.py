@@ -45,13 +45,39 @@ def _stage(x, block, planes, depth, stride, dtype, prefix, train):
     return x
 
 
+class ResNetTrunk(nn.Module):
+    """Bare torchvision-style trunk on (N, H, W, 3); returns all 4 stages."""
+
+    num_layers: int = 34
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block, depths = _SPECS[self.num_layers]
+        x = torch_conv(64, 7, 2, 3, False, self.dtype, "conv1")(x)
+        x = batch_norm(dtype=self.dtype, name="bn1")(
+            x, use_running_average=not train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
+        outs = []
+        for i in range(4):
+            stride = 1 if i == 0 else 2
+            x = _stage(x, block, _WIDTHS[i], depths[i], stride,
+                       self.dtype, f"layer{i + 1}", train)
+            outs.append(x)
+        return outs
+
+
 class ResNetEncoder(nn.Module):
     """ResNet-{18,34,50,101,152} feature pyramid over multi-agent cameras.
 
     Input:  (B, L, M, H, W, 3) images (agents L, cameras M, channels-last).
     Output: list of (B, L, M, h_i, w_i, C_i) features for each stage in
     ``id_pick`` (stage 0 = after layer1 at 1/4 resolution, stage 3 =
-    after layer4 at 1/32).
+    after layer4 at 1/32).  The trunk nests under scope "encoder" to
+    mirror the reference's `ResnetEncoder.encoder` attribute for
+    checkpoint porting.
     """
 
     num_layers: int = 34
@@ -71,23 +97,9 @@ class ResNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, images, train: bool = False):
-        block, depths = _SPECS[self.num_layers]
         B, L, M, H, W, C = images.shape
         x = images.reshape(B * L * M, H, W, C)
-
-        x = torch_conv(64, 7, 2, 3, False, self.dtype, "conv1")(x)
-        x = batch_norm(dtype=self.dtype, name="bn1")(
-            x, use_running_average=not train)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2),
-                        padding=((1, 1), (1, 1)))
-
-        outs = []
-        for i in range(4):
-            stride = 1 if i == 0 else 2
-            x = _stage(x, block, _WIDTHS[i], depths[i], stride,
-                       self.dtype, f"layer{i + 1}", train)
-            outs.append(x)
-
+        outs = ResNetTrunk(self.num_layers, dtype=self.dtype,
+                           name="encoder")(x, train)
         picked = [outs[i] for i in self.id_pick]
         return [f.reshape(B, L, M, *f.shape[1:]) for f in picked]

@@ -117,6 +117,10 @@ def torch_to_flax(
 
         if leaf == "num_batches_tracked":
             continue
+        if leaf in ("relative_position_index", "rel_pos_indices",
+                    "pos_table"):
+            # constant index buffers; recomputed statically on our side
+            continue
         if leaf in ("running_mean", "running_var"):
             _set(batch_stats, path + ["mean" if leaf == "running_mean"
                                       else "var"], value)

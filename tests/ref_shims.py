@@ -107,7 +107,8 @@ class TorchResNet(nn.Module):
 
 
 def make_torch_resnet(num_layers):
-    depths = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
+    depths = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+              101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
     block = TorchBasicBlock if num_layers in (18, 34) else Bottleneck
     return TorchResNet(block, depths[num_layers])
 
@@ -152,6 +153,10 @@ def install_torchvision_shim():
     tv_resnet = types.ModuleType("torchvision.models.resnet")
     tv_resnet.Bottleneck = Bottleneck
     tv_models.resnet = tv_resnet
+    for n in (18, 34, 50, 101, 152):
+        setattr(tv_models, f"resnet{n}",
+                (lambda n: lambda pretrained=False, **kw:
+                 make_torch_resnet(n))(n))
     tv.models = tv_models
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = tv_models

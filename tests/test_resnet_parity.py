@@ -8,7 +8,7 @@ import jax.numpy as jnp
 torch = pytest.importorskip("torch")
 
 from tests.ref_shims import make_torch_resnet, randomize_bn_stats
-from cobevt_tpu.nn.resnet import ResNetEncoder
+from cobevt_tpu.nn.resnet import ResNetEncoder, ResNetTrunk
 from cobevt_tpu.utils.torch_port import state_dict_to_numpy, torch_to_flax
 
 
@@ -27,11 +27,11 @@ def test_resnet_forward_parity(num_layers):
     with torch.no_grad():
         ref = [t.numpy() for t in oracle(torch.from_numpy(x))]
 
-    model = ResNetEncoder(num_layers=num_layers, id_pick=(0, 1, 2, 3))
-    xj = jnp.asarray(x.transpose(0, 2, 3, 1))[None, None]   # (1,1,B,H,W,3)
+    model = ResNetTrunk(num_layers=num_layers)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
     ours = model.apply(variables, xj, False)
     for o, r in zip(ours, ref):
-        o = np.asarray(o)[0, 0].transpose(0, 3, 1, 2)
+        o = np.asarray(o).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(o, r, atol=2e-4, rtol=1e-4)
 
 
@@ -40,6 +40,6 @@ def test_resnet_train_mode_updates_stats():
     x = jnp.ones((1, 1, 1, 64, 64, 3))
     variables = model.init(jax.random.PRNGKey(0), x, False)
     _, updates = model.apply(variables, x, True, mutable=["batch_stats"])
-    old = variables["batch_stats"]["bn1"]["mean"]
-    new = updates["batch_stats"]["bn1"]["mean"]
+    old = variables["batch_stats"]["encoder"]["bn1"]["mean"]
+    new = updates["batch_stats"]["encoder"]["bn1"]["mean"]
     assert not np.allclose(np.asarray(old), np.asarray(new))
