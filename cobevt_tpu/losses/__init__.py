@@ -1,0 +1,8 @@
+from cobevt_tpu.losses.seg_losses import (
+    VanillaSegLoss,
+    sigmoid_focal_loss,
+    BinarySegmentationLoss,
+    CenterLoss,
+    MultipleLoss,
+    weighted_cross_entropy,
+)
