@@ -1,0 +1,7 @@
+from cobevt_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    param_sharding,
+    tensor_parallel_spec,
+    shard_batch,
+)

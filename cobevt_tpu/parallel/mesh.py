@@ -1,0 +1,98 @@
+"""Device-mesh parallelism: sharded-jit data parallel + optional tensor
+parallel.
+
+TPU-native replacement for the reference's NCCL DDP stack
+(opv2v/opencood/tools/multi_gpu_utils.py:16: env rendezvous,
+init_process_group, DistributedSampler, seed broadcast):
+
+  * a 2D `jax.sharding.Mesh` with axes ("data", "model");
+  * the global batch is sharded over "data"; gradient reduction is the
+    compiled `psum` XLA inserts — there is no user-visible collective;
+  * optionally, large projection kernels are sharded over "model"
+    (Megatron-style paired column/row splits) via name-based rules;
+  * seed sync is free (same PRNG key everywhere); metric reduction is a
+    sum over the IoU counter pytree.
+
+BatchNorm note: under a single sharded jit, batch statistics are computed
+over the *global* batch (XLA inserts the cross-replica mean), i.e.
+sync-BN.  The reference uses per-GPU BN (`sync_batchnorm: False`); sync-BN
+is a strict-superset behavior we adopt deliberately.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Dense kernels sharded column-wise (output features) over "model"
+_COL_SHARDED = ("to_qkv", "to_q_1", "to_k_1", "to_v_1", "net_0", "mlp_1_0",
+                "mlp_2_0")
+# Dense kernels sharded row-wise (input features) — the paired projection
+_ROW_SHARDED = ("proj", "to_out_0", "net_3", "mlp_1_2", "mlp_2_2")
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ("data", "model") mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis split over "data", replicated over "model"."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch pytree with the batch axis sharded."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def tensor_parallel_spec(path, leaf) -> P:
+    """PartitionSpec for one parameter by its tree path.
+
+    2D kernels named in `_COL_SHARDED` split their output axis over
+    "model"; their paired `_ROW_SHARDED` projections split the input axis
+    (Megatron pairing keeps the intermediate activation sharded and needs
+    a single reduce at the row layer, which XLA inserts).  Everything
+    else is replicated.
+    """
+    names = [getattr(k, "key", str(k)) for k in path]
+    if getattr(leaf, "ndim", 0) == 2 and names and names[-1] == "kernel":
+        parent = names[-2] if len(names) >= 2 else ""
+        if parent in _COL_SHARDED:
+            return P(None, "model")
+        if parent in _ROW_SHARDED:
+            return P("model", None)
+    return P()
+
+
+def param_sharding(mesh: Mesh, params, use_tp: bool = True):
+    """NamedSharding pytree for params (TP rules or full replication).
+
+    Axes whose size does not divide the "model" mesh axis fall back to
+    replication (XLA requires even splits)."""
+    model_size = mesh.shape["model"]
+
+    def spec_for(path, leaf):
+        if not use_tp or model_size == 1:
+            return NamedSharding(mesh, P())
+        spec = tensor_parallel_spec(path, leaf)
+        # validate divisibility
+        for axis, name in enumerate(spec):
+            if name == "model" and leaf.shape[axis] % model_size != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
