@@ -1,0 +1,147 @@
+"""nuScenes generated-label dataset frontend (training phase B).
+
+Capability parity with the reference's generated pipeline:
+  * JSON scene index + bit-packed label PNGs + aux npz + visibility PNG
+    written by `SaveDataTransform`
+    (nuscenes/cross_view_transformer/data/transforms.py:46-97);
+  * `LoadDataTransform` read path (transforms.py:100-187): bilinear
+    resize to (h + top_crop, w), crop the top, rescale intrinsics
+    accordingly; decode the bit-packed BEV; center channel from aux[...,1];
+  * `NuScenesGeneratedDataset` scene shards
+    (data/nuscenes_dataset_generated.py:34) and the DataModule's
+    ConcatDataset behavior (data/data_module.py:7).
+
+Outputs channels-last numpy batches matching the CrossViewTransformer
+batch contract: image (n, h, w, 3) in [0,1], intrinsics, extrinsics,
+bev (h, w, n_classes), center (h, w, 1), visibility (h, w).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from cobevt_tpu.data.labels import decode_binary_maps
+
+try:
+    from PIL import Image
+except Exception:  # pragma: no cover
+    Image = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageConfig:
+    h: int = 224
+    w: int = 480
+    top_crop: int = 46
+
+
+def load_image_with_intrinsics(path: str, intrinsic: np.ndarray,
+                               cfg: ImageConfig):
+    """Resize to (h+top_crop, w), crop the top, rescale K (reference
+    transforms.py:118-139).  Returns (h, w, 3) float [0,1] + new K."""
+    img = Image.open(path)
+    h_resize = cfg.h + cfg.top_crop
+    w_resize = cfg.w
+    W0, H0 = img.size
+    img = img.resize((w_resize, h_resize), resample=Image.BILINEAR)
+    img = img.crop((0, cfg.top_crop, w_resize, h_resize))
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = np.repeat(arr[..., None], 3, -1)
+    arr = arr[..., :3]
+
+    K = np.array(intrinsic, np.float32)
+    K[0, 0] *= w_resize / W0
+    K[0, 2] *= w_resize / W0
+    K[1, 1] *= h_resize / H0
+    K[1, 2] *= h_resize / H0
+    K[1, 2] -= cfg.top_crop
+    return arr, K
+
+
+class NuScenesGeneratedDataset:
+    """One scene shard: reads `labels_dir/scene.json` written at label-
+    generation time; images resolved relative to `dataset_dir`."""
+
+    def __init__(self, scene_name: str, dataset_dir: str, labels_dir: str,
+                 image_config: ImageConfig = ImageConfig(),
+                 num_classes: int = 12):
+        self.scene_name = scene_name
+        self.dataset_dir = Path(dataset_dir)
+        self.labels_dir = Path(labels_dir)
+        self.image_config = image_config
+        self.num_classes = num_classes
+        with open(self.labels_dir / f"{scene_name}.json") as f:
+            self.samples = json.load(f)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        s = self.samples[idx]
+        scene_dir = self.labels_dir / s["scene"]
+
+        images, intrinsics = [], []
+        for path, K in zip(s["images"], s["intrinsics"]):
+            img, K2 = load_image_with_intrinsics(
+                str(self.dataset_dir / path), K, self.image_config)
+            images.append(img)
+            intrinsics.append(K2)
+
+        out = {
+            "image": np.stack(images).astype(np.float32),
+            "intrinsics": np.stack(intrinsics).astype(np.float32),
+            "extrinsics": np.array(s["extrinsics"], np.float32),
+            "view": np.array(s["view"], np.float32),
+        }
+        if "bev" in s:
+            bev_img = Image.open(scene_dir / s["bev"])
+            out["bev"] = decode_binary_maps(
+                np.asarray(bev_img), self.num_classes).astype(np.float32)
+        if "visibility" in s:
+            vis = Image.open(scene_dir / s["visibility"])
+            out["visibility"] = np.asarray(vis, dtype=np.uint8)
+        if "aux" in s:
+            aux = np.load(scene_dir / s["aux"])["aux"]
+            out["center"] = aux[..., 1:2].astype(np.float32)
+        if "pose" in s:
+            out["pose"] = np.array(s["pose"], np.float32)
+        return out
+
+    @staticmethod
+    def collate(samples: List[Dict[str, np.ndarray]]):
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def concat_scene_datasets(split_scenes, dataset_dir, labels_dir,
+                          image_config=ImageConfig(), num_classes=12):
+    """ConcatDataset over per-scene shards (reference data_module.py:20)."""
+    datasets = []
+    for scene in split_scenes:
+        if os.path.exists(os.path.join(labels_dir, f"{scene}.json")):
+            datasets.append(NuScenesGeneratedDataset(
+                scene, dataset_dir, labels_dir, image_config, num_classes))
+    return ConcatDataset(datasets)
+
+
+class ConcatDataset:
+    def __init__(self, datasets):
+        self.datasets = datasets
+        self.offsets = np.cumsum([0] + [len(d) for d in datasets])
+
+    def __len__(self):
+        return int(self.offsets[-1])
+
+    def __getitem__(self, idx):
+        d = int(np.searchsorted(self.offsets, idx, side="right")) - 1
+        return self.datasets[d][idx - int(self.offsets[d])]
+
+    @staticmethod
+    def collate(samples):
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
