@@ -1,0 +1,192 @@
+"""YAML "hypes" configuration loading, compatible with the reference's
+config files.
+
+Capability parity with opv2v/opencood/hypes_yaml/yaml_utils.py:
+  * scientific-notation float resolver (:29-38);
+  * derived-geometry post hooks — here a *registry*, not `eval`
+    (:41-43 runs `eval(param['yaml_parser'])`; we deliberately do not);
+  * checkpoint-dir `config.yaml` override on resume (:25-26);
+  * `load_bev_params` (:170), `load_voxel_params` (:47),
+    `load_point_pillar_params` (:86 — whose reference body references
+    undefined vw/vh/vd; reimplemented correctly here).
+
+Also converts hypes dicts into this framework's typed model configs.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import yaml
+
+from cobevt_tpu.models.corpbevt import CorpBEVTConfig
+from cobevt_tpu.models.fax import FAXConfig
+
+_FLOAT_RE = re.compile(
+    r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+    |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+    |\.[0-9_]+(?:[eE][-+][0-9]+)?
+    |[-+]?[0-9][0-9_]*(?::[0-5]?[0-9])+\.[0-9_]*
+    |[-+]?\.(?:inf|Inf|INF)
+    |\.(?:nan|NaN|NAN))$""", re.X)
+
+PARSER_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_parser(name):
+    def deco(fn):
+        PARSER_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def load_hypes(path: str, model_dir: Optional[str] = None) -> dict:
+    """Load a hypes yaml; a checkpoint dir's config.yaml takes priority."""
+    if model_dir:
+        snapshot = os.path.join(model_dir, "config.yaml")
+        if os.path.exists(snapshot):
+            path = snapshot
+
+    class _Loader(yaml.SafeLoader):
+        pass
+
+    _Loader.add_implicit_resolver(
+        "tag:yaml.org,2002:float", _FLOAT_RE, list("-+0123456789."))
+    with open(path) as f:
+        params = yaml.load(f, Loader=_Loader)
+
+    parser_name = params.get("yaml_parser")
+    if parser_name:
+        if parser_name not in PARSER_REGISTRY:
+            raise KeyError(
+                f"unknown yaml_parser {parser_name!r}; "
+                f"registered: {sorted(PARSER_REGISTRY)}")
+        params = PARSER_REGISTRY[parser_name](params)
+    return params
+
+
+def save_config_snapshot(params: dict, save_dir: str):
+    """Write config.yaml next to checkpoints (reference
+    train_utils.setup_train :94-97)."""
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(params, f)
+
+
+@register_parser("load_bev_params")
+def load_bev_params(param: dict) -> dict:
+    """BEV geometry: input/label grid shapes from lidar range + res."""
+    res = param["preprocess"]["args"]["res"]
+    L1, W1, H1, L2, W2, H2 = param["preprocess"]["cav_lidar_range"]
+    downsample_rate = param["preprocess"]["args"]["downsample_rate"]
+    input_shape = (int((L2 - L1) / res), int((W2 - W1) / res),
+                   int((H2 - H1) / res) + 1)
+    param["preprocess"]["geometry_param"] = {
+        "L1": L1, "L2": L2, "W1": W1, "W2": W2, "H1": H1, "H2": H2,
+        "downsample_rate": downsample_rate, "input_shape": input_shape,
+        "label_shape": (input_shape[0] // downsample_rate,
+                        input_shape[1] // downsample_rate, 7),
+        "res": res,
+    }
+    if "model" in param:
+        param["model"]["args"]["geometry_param"] = \
+            param["preprocess"]["geometry_param"]
+    if "postprocess" in param:
+        param["postprocess"]["geometry_param"] = \
+            param["preprocess"]["geometry_param"]
+    return param
+
+
+@register_parser("load_voxel_params")
+def load_voxel_params(param: dict) -> dict:
+    anchor_args = param["postprocess"]["anchor_args"]
+    lr = anchor_args["cav_lidar_range"]
+    vw, vh, vd = param["preprocess"]["args"]["voxel_size"]
+    anchor_args.update({"vw": vw, "vh": vh, "vd": vd,
+                        "W": int((lr[3] - lr[0]) / vw),
+                        "H": int((lr[4] - lr[1]) / vh),
+                        "D": int((lr[5] - lr[2]) / vd)})
+    if "model" in param:
+        for k in ("W", "H", "D"):
+            param["model"]["args"][k] = anchor_args[k]
+    return param
+
+
+@register_parser("load_point_pillar_params")
+def load_point_pillar_params(param: dict) -> dict:
+    lr = param["preprocess"]["cav_lidar_range"]
+    voxel_size = param["preprocess"]["args"]["voxel_size"]
+    grid = np.round((np.array(lr[3:6]) - np.array(lr[0:3])) /
+                    np.array(voxel_size)).astype(np.int64)
+    param["model"]["args"].setdefault("point_pillar_scatter", {})
+    param["model"]["args"]["point_pillar_scatter"]["grid_size"] = \
+        grid.tolist()
+    vw, vh, vd = voxel_size
+    anchor_args = param["postprocess"]["anchor_args"]
+    anchor_args.update({
+        "vw": vw, "vh": vh, "vd": vd,
+        "W": math.ceil((lr[3] - lr[0]) / vw),
+        "H": math.ceil((lr[4] - lr[1]) / vh),
+        "D": math.ceil((lr[5] - lr[2]) / vd)})
+    return param
+
+
+# ---------------------------------------------------------------------------
+# hypes -> typed configs
+# ---------------------------------------------------------------------------
+
+def corpbevt_config_from_hypes(hypes: dict) -> CorpBEVTConfig:
+    """Map a corpbevt-style hypes dict (reference
+    opv2v/opencood/hypes_yaml/opcamera/corpbevt.yaml) onto
+    CorpBEVTConfig."""
+    args = hypes["model"]["args"]
+    fax_a = args["fax"]
+    bev = fax_a["bev_embedding"]
+    cv = fax_a["cross_view"]
+    cvs = fax_a["cross_view_swap"]
+    sa = fax_a["self_attn"]
+    enc = args["encoder"]
+    fusion = args["fax_fusion"]
+    dec = args["decoder"]
+
+    fax = FAXConfig(
+        dim=tuple(fax_a["dim"]), middle=tuple(fax_a["middle"]),
+        image_height=cv["image_height"], image_width=cv["image_width"],
+        qkv_bias=cv["qkv_bias"], heads=tuple(cv["heads"]),
+        dim_head=tuple(cv["dim_head"]),
+        q_win_size=tuple(tuple(w) for w in cvs["q_win_size"]),
+        feat_win_size=tuple(tuple(w) for w in cvs["feat_win_size"]),
+        bev_embedding_flag=tuple(cvs["bev_embedding_flag"]),
+        no_image_features=cv.get("no_image_features", False),
+        skip=cv.get("skip", True),
+        sigma=bev["sigma"], bev_height=bev["bev_height"],
+        bev_width=bev["bev_width"], h_meters=bev["h_meters"],
+        w_meters=bev["w_meters"], offset=bev["offset"],
+        upsample_scales=tuple(bev["upsample_scales"]),
+        self_attn_dim_head=sa["dim_head"],
+        self_attn_dropout=sa["dropout"],
+        self_attn_window=sa["window_size"])
+
+    return CorpBEVTConfig(
+        max_cav=args["max_cav"], target=args["target"],
+        encoder_num_layers=enc["num_layers"],
+        encoder_id_pick=tuple(enc["id_pick"]),
+        image_height=enc["image_height"], image_width=enc["image_width"],
+        fax=fax, compression=args.get("compression", 0),
+        sttf_resolution=args["sttf"]["resolution"],
+        sttf_downsample_rate=args["sttf"]["downsample_rate"],
+        use_roi_mask=args["sttf"]["use_roi_mask"],
+        fusion_mlp_dim=fusion["mlp_dim"],
+        fusion_window_size=fusion["window_size"],
+        fusion_dim_head=fusion["dim_head"],
+        fusion_dropout=fusion["drop_out"],
+        fusion_depth=fusion["depth"],
+        fusion_mask=fusion.get("mask", True),
+        decoder_num_layer=dec["num_layer"],
+        decoder_num_ch=tuple(dec["num_ch_dec"]),
+        seg_head_dim=args["seg_head_dim"],
+        output_class=args["output_class"])

@@ -1,0 +1,133 @@
+"""OPV2V cooperative camera training CLI.
+
+Capability parity with reference opv2v/opencood/tools/train_camera.py:
+  python -m cobevt_tpu.tools.train_camera --hypes_yaml <yaml> \
+      [--model_dir <resume_dir>] [--half]
+
+Builds dataset + model + loss from the hypes yaml, trains with the
+sharded-jit data-parallel step over all local devices, checkpoints via
+orbax, and logs to tensorboard/JSONL.  `--half` switches model compute
+to bfloat16 (the TPU analogue of the reference's AMP flag,
+train_camera.py:123-124).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser("cobevt_tpu camera training")
+    p.add_argument("--hypes_yaml", required=True)
+    p.add_argument("--model_dir", default="",
+                   help="resume from this checkpoint dir")
+    p.add_argument("--half", action="store_true",
+                   help="bfloat16 compute")
+    p.add_argument("--save_dir", default="runs/default")
+    return p.parse_args()
+
+
+def build_from_hypes(hypes, half=False):
+    import jax.numpy as jnp
+
+    from cobevt_tpu.configs.hypes import corpbevt_config_from_hypes
+    from cobevt_tpu.losses import VanillaSegLoss
+    from cobevt_tpu.models.corpbevt import CorpBEVT
+
+    cfg = corpbevt_config_from_hypes(hypes)
+    model = CorpBEVT(cfg, dtype=jnp.bfloat16 if half else None)
+
+    loss_args = hypes["loss"]["args"]
+    seg_loss = VanillaSegLoss(
+        target=loss_args["target"], d_weights=loss_args["d_weights"],
+        s_weights=loss_args["s_weights"],
+        l_weights=loss_args.get("l_weights", 50.0),
+        d_coe=loss_args["d_coe"], s_coe=loss_args["s_coe"])
+
+    def criterion(out, batch):
+        return seg_loss(out, {"gt_dynamic": batch["gt_dynamic"],
+                              "gt_static": batch["gt_static"]})
+    return cfg, model, criterion
+
+
+def main():
+    opt = parse_args()
+
+    from cobevt_tpu.configs.hypes import load_hypes, save_config_snapshot
+    from cobevt_tpu.data.loader import DataLoader
+    from cobevt_tpu.data.opv2v import (
+        OPV2VCameraDataset,
+        OPV2VScenarioDatabase,
+        WildConfig,
+    )
+    from cobevt_tpu.train import (
+        cosine_warmup_schedule,
+        create_train_state,
+        make_optimizer,
+    )
+    from cobevt_tpu.train.loop import Trainer, TrainerConfig
+
+    hypes = load_hypes(opt.hypes_yaml,
+                       opt.model_dir if opt.model_dir else None)
+    cfg, model, criterion = build_from_hypes(hypes, opt.half)
+
+    tp = hypes["train_params"]
+    wild = WildConfig(**hypes.get("wild_setting", {})) \
+        if "wild_setting" in hypes else WildConfig()
+    img_hw = (hypes["preprocess"]["args"]["resize_y"],
+              hypes["preprocess"]["args"]["resize_x"])
+
+    train_db = OPV2VScenarioDatabase(hypes["root_dir"],
+                                     max_cav=tp["max_cav"],
+                                     shuffle_cavs=True)
+    val_db = OPV2VScenarioDatabase(hypes["validate_dir"],
+                                   max_cav=tp["max_cav"])
+    train_ds = OPV2VCameraDataset(train_db, image_hw=img_hw,
+                                  visible=tp.get("visible", True),
+                                  wild=wild, train=True)
+    val_ds = OPV2VCameraDataset(val_db, image_hw=img_hw,
+                                visible=tp.get("visible", True),
+                                train=False)
+
+    train_loader = DataLoader(train_ds, tp["batch_size"], shuffle=True)
+    val_loader = DataLoader(val_ds, 1, shuffle=False, drop_last=False)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    sched_cfg = hypes["lr_scheduler"]
+    schedule = cosine_warmup_schedule(
+        base_lr=hypes["optimizer"]["lr"],
+        warmup_lr=sched_cfg.get("warmup_lr", hypes["optimizer"]["lr"]),
+        warmup_steps=sched_cfg.get("warmup_epoches", 0) * steps_per_epoch,
+        total_steps=tp["epoches"] * steps_per_epoch,
+        lr_min=sched_cfg.get("lr_min", 0.0))
+    tx = make_optimizer(schedule,
+                        weight_decay=hypes["optimizer"]["args"].get(
+                            "weight_decay", 1e-2),
+                        eps=hypes["optimizer"]["args"].get("eps", 1e-10))
+
+    sample = train_ds[0]
+    sample_batch = {k: np.stack([v]) for k, v in sample.items()}
+    state = create_train_state(model, tx, sample_batch)
+
+    save_dir = opt.model_dir or opt.save_dir
+    save_config_snapshot(hypes, save_dir)
+    trainer = Trainer(model, criterion, state, TrainerConfig(
+        epochs=tp["epoches"], eval_freq=tp.get("eval_freq", 5),
+        save_freq=tp.get("save_freq", 5),
+        ckpt_dir=os.path.join(save_dir, "ckpt"),
+        log_dir=os.path.join(save_dir, "logs"),
+        seg_target=cfg.target))
+    trainer.maybe_resume()
+
+    def reshuffle(epoch):
+        train_db.reinitialize()          # re-shuffle CAV ordering
+
+    trainer.fit(train_loader, val_loader, on_epoch_end=reshuffle)
+
+
+if __name__ == "__main__":
+    main()
