@@ -91,6 +91,7 @@ def torch_to_flax(
     embedding_paths: Iterable[str] = ("rel_pos_bias",
                                       "relative_position_bias_table"),
     rename: Optional[Callable] = None,
+    convtranspose_markers: Iterable[str] = (),
 ) -> dict:
     """Convert a (numpy) torch state_dict to flax variables.
 
@@ -99,6 +100,7 @@ def torch_to_flax(
     """
     rename = rename or _default_rename
     embedding_paths = set(embedding_paths)
+    convtranspose_markers = tuple(convtranspose_markers)
 
     # find modules that are BatchNorm (have running stats)
     bn_modules = set()
@@ -132,8 +134,19 @@ def torch_to_flax(
             if module in bn_modules:
                 _set(params, path + ["scale"], value)
             elif value.ndim == 4:
-                _set(params, path + ["kernel"],
-                     np.transpose(value, (2, 3, 1, 0)))
+                # torch Conv2d is OIHW; ConvTranspose2d is IOHW and flax
+                # ConvTranspose (transpose_kernel=False) additionally
+                # needs the spatial taps flipped (verified empirically in
+                # tests/test_lidar_track.py)
+                if any(m in seg for m in convtranspose_markers
+                       for seg in module):
+                    _set(params, path + ["kernel"],
+                         np.ascontiguousarray(
+                             np.transpose(value,
+                                          (2, 3, 0, 1))[::-1, ::-1]))
+                else:
+                    _set(params, path + ["kernel"],
+                         np.transpose(value, (2, 3, 1, 0)))
             elif value.ndim == 2:
                 if any(seg in embedding_paths for seg in module):
                     _set(params, path + ["embedding"], value)

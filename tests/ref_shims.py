@@ -144,8 +144,22 @@ def install_shapely_shim():
     sys.modules["shapely.geometry"] = sh_geom
 
 
+def install_open3d_shim():
+    """Stub open3d (used only by viz helpers we never execute)."""
+    if "open3d" in sys.modules:
+        return
+    o3d = types.ModuleType("open3d")
+    o3d.geometry = types.SimpleNamespace(PointCloud=object,
+                                         LineSet=object)
+    o3d.utility = types.SimpleNamespace(Vector3dVector=lambda *a: None,
+                                        Vector2iVector=lambda *a: None)
+    o3d.visualization = types.SimpleNamespace(Visualizer=object)
+    sys.modules["open3d"] = o3d
+
+
 def install_torchvision_shim():
     install_shapely_shim()
+    install_open3d_shim()
     if "torchvision" in sys.modules:
         return
     tv = types.ModuleType("torchvision")
