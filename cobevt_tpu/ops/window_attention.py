@@ -1,0 +1,140 @@
+"""Fused windowed attention Pallas kernel.
+
+FAX's factorized attention bounds every softmax to one (window x window)
+tile (SURVEY.md section 5: the window/grid partitions ARE the block
+structure), so the whole attention for one (window, head) — QK^T, bias,
+mask, softmax, AV — fits in VMEM.  XLA's unfused path materializes the
+similarity tensor in HBM (e.g. CorpBEVT stage 0: 5 x 64 windows x 4 heads
+x 256 x 1024 fp32 = hundreds of MB per cross-attention); this kernel
+keeps it on-chip and writes only the (Tq, D) outputs.
+
+One kernel serves all three attention flavors in the framework:
+  * CrossWinAttention  (no bias, no mask)    — models/fax.py
+  * SelfAttention      (2D rel-pos bias)     — models/fax.py
+  * FusionAttention    (3D bias + key mask)  — models/fusion/swap_fusion.py
+
+Interface: q (G, H, Tq, D), k/v (G, H, Tk, D), optional bias (H, Tq, Tk)
+(shared across G, per head), optional key mask (G, Tk).  Scale must be
+pre-applied to q.  Falls back to a pure-XLA einsum path off-TPU or for
+awkward shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, has_bias, has_mask):
+    # refs arrive with leading (1, 1) block dims; optional operands are
+    # appended before o_ref by pallas_call ordering below
+    pass  # replaced by variants
+
+
+def _attn_body(q, k, v, bias, mask):
+    sim = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    if bias is not None:
+        sim = sim + bias
+    if mask is not None:
+        sim = sim + jnp.where(mask[None, :] > 0, 0.0, NEG_INF)
+    m = jnp.max(sim, axis=-1, keepdims=True)
+    e = jnp.exp(sim - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    out = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out / s
+
+
+def _kernel_plain(q_ref, k_ref, v_ref, o_ref):
+    o_ref[0, 0] = _attn_body(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+                             None, None).astype(o_ref.dtype)
+
+
+def _kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref):
+    o_ref[0, 0] = _attn_body(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+                             b_ref[0], None).astype(o_ref.dtype)
+
+
+def _kernel_mask(q_ref, k_ref, v_ref, m_ref, o_ref):
+    o_ref[0, 0] = _attn_body(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+                             None, m_ref[0]).astype(o_ref.dtype)
+
+
+def _kernel_bias_mask(q_ref, k_ref, v_ref, b_ref, m_ref, o_ref):
+    o_ref[0, 0] = _attn_body(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+                             b_ref[0], m_ref[0]).astype(o_ref.dtype)
+
+
+def _xla_reference(q, k, v, bias, mask):
+    sim = jnp.einsum("ghqd,ghkd->ghqk", q, k,
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        sim = sim + bias[None]
+    if mask is not None:
+        sim = sim + jnp.where(mask[:, None, None, :] > 0, 0.0, NEG_INF)
+    attn = jax.nn.softmax(sim, axis=-1)
+    return jnp.einsum("ghqk,ghkd->ghqd", attn,
+                      v.astype(sim.dtype)).astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def fused_window_attention(q, k, v, bias=None, mask=None,
+                           use_pallas: bool = True):
+    """q: (G, H, Tq, D) pre-scaled; k, v: (G, H, Tk, D);
+    bias: (H, Tq, Tk) or None; mask: (G, Tk) or None.
+    Returns (G, H, Tq, D) in q's dtype."""
+    if not use_pallas or jax.default_backend() != "tpu":
+        return _xla_reference(q, k, v, bias, mask)
+
+    G, H, Tq, D = q.shape
+    Tk = k.shape[2]
+
+    in_specs = [
+        pl.BlockSpec((1, 1, Tq, D), lambda g, h: (g, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Tk, D), lambda g, h: (g, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Tk, D), lambda g, h: (g, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if bias is not None and mask is not None:
+        kernel = _kernel_bias_mask
+        in_specs += [
+            pl.BlockSpec((1, Tq, Tk), lambda g, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tk), lambda g, h: (g, 0),
+                         memory_space=pltpu.VMEM)]
+        args += [bias.astype(jnp.float32), mask.astype(jnp.float32)]
+    elif bias is not None:
+        kernel = _kernel_bias
+        in_specs += [pl.BlockSpec((1, Tq, Tk), lambda g, h: (h, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        args += [bias.astype(jnp.float32)]
+    elif mask is not None:
+        kernel = _kernel_mask
+        in_specs += [pl.BlockSpec((1, Tk), lambda g, h: (g, 0),
+                                  memory_space=pltpu.VMEM)]
+        args += [mask.astype(jnp.float32)]
+    else:
+        kernel = _kernel_plain
+
+    flops = 2 * G * H * Tq * Tk * D * 2
+    return pl.pallas_call(
+        kernel,
+        grid=(G, H),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, Tq, D), lambda g, h: (g, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, H, Tq, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size) * 2 + q.size * 2,
+            transcendentals=G * H * Tq * Tk),
+    )(*args)
