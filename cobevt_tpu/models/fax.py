@@ -29,6 +29,7 @@ import numpy as np
 from einops import rearrange, repeat
 
 from cobevt_tpu.geometry.transforms import generate_grid, get_view_matrix
+from cobevt_tpu.ops.window_attention import fused_window_attention
 from cobevt_tpu.nn.layers import (
     Bottleneck,
     batch_norm,
@@ -176,17 +177,25 @@ class SelfAttention(nn.Module):
         q = split_heads(q) * (self.dim_head ** -0.5)
         k = split_heads(k)
         v = split_heads(v)
-        sim = jnp.einsum("bihd,bjhd->bhij", q, k,
-                         preferred_element_type=jnp.float32)
 
         idx = jnp.asarray(rel_pos_indices_2d(self.window_size))
         bias = nn.Embed((2 * self.window_size - 1) ** 2, heads,
                         name="rel_pos_bias")(idx)        # (i, j, heads)
-        sim = sim + bias.transpose(2, 0, 1)[None]
+        bias = bias.transpose(2, 0, 1)                    # (heads, i, j)
 
-        attn = jax.nn.softmax(sim, axis=-1)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("bhij,bjhd->bihd", attn, v.astype(sim.dtype))
+        if train and self.dropout > 0:
+            # attention-dropout path stays on the unfused implementation
+            sim = jnp.einsum("bihd,bjhd->bhij", q, k,
+                             preferred_element_type=jnp.float32)
+            sim = sim + bias[None]
+            attn = jax.nn.softmax(sim, axis=-1)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            out = jnp.einsum("bhij,bjhd->bihd", attn, v.astype(sim.dtype))
+        else:
+            fused = fused_window_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), bias=bias)
+            out = fused.transpose(0, 2, 1, 3)
         out = out.reshape(B, H, W, heads * self.dim_head)
         out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                        name="to_out_0")(out)
@@ -232,11 +241,16 @@ class CrossWinAttention(nn.Module):
         k = split_heads(k)
         v = split_heads(v)
 
-        sim = jnp.einsum("blqhd,blkhd->blhqk", q, k,
-                         preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("blhqk,blkhd->blqhd", attn, v.astype(sim.dtype))
-        out = out.reshape(*out.shape[:-2], self.heads * self.dim_head)
+        # one fused-attention program per (window, head): QK^T never
+        # touches HBM (cobevt_tpu/ops/window_attention.py)
+        bw = q.shape[0] * q.shape[1]
+        fused = fused_window_attention(
+            q.reshape(bw, *q.shape[2:]).transpose(0, 2, 1, 3),
+            k.reshape(bw, *k.shape[2:]).transpose(0, 2, 1, 3),
+            v.reshape(bw, *v.shape[2:]).transpose(0, 2, 1, 3))
+        out = fused.transpose(0, 2, 1, 3).reshape(
+            q.shape[0], q.shape[1], q.shape[2],
+            self.heads * self.dim_head)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
         out = rearrange(out, "b (x y) (n w1 w2) d -> b n x y w1 w2 d",

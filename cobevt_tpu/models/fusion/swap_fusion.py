@@ -24,6 +24,7 @@ import numpy as np
 from einops import rearrange
 
 from cobevt_tpu.nn.layers import gelu, layer_norm
+from cobevt_tpu.ops.window_attention import fused_window_attention
 
 NEG_INF = -1e9
 
@@ -75,8 +76,6 @@ class FusionAttention(nn.Module):
         q = split_heads(q) * (self.dim_head ** -0.5)
         k = split_heads(k)
         v = split_heads(v)
-        sim = jnp.einsum("bwihd,bwjhd->bwhij", q, k,
-                         preferred_element_type=jnp.float32)
 
         idx = jnp.asarray(rel_pos_indices_3d(self.agent_size,
                                              self.window_size,
@@ -86,16 +85,22 @@ class FusionAttention(nn.Module):
                       (2 * self.window_size - 1))
         bias = nn.Embed(table_size, heads,
                         name="relative_position_bias_table")(idx)
-        sim = sim + bias.transpose(2, 0, 1)[None, None]
+        bias = bias.transpose(2, 0, 1)                   # (heads, T, T)
 
+        key_mask = None
         if mask is not None:
-            key_mask = rearrange(mask, "b x y w1 w2 l -> b (x y) (l w1 w2)")
-            sim = sim + jnp.where(key_mask[:, :, None, None, :] == 0,
-                                  NEG_INF, 0.0).astype(sim.dtype)
+            key_mask = rearrange(
+                mask, "b x y w1 w2 l -> b (x y) (l w1 w2)")
 
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("bwhij,bwjhd->bwihd", attn, v.astype(sim.dtype))
-        out = out.reshape(b, X * Y, T, heads * self.dim_head)
+        G = b * X * Y
+        fused = fused_window_attention(
+            q.reshape(G, T, heads, self.dim_head).transpose(0, 2, 1, 3),
+            k.reshape(G, T, heads, self.dim_head).transpose(0, 2, 1, 3),
+            v.reshape(G, T, heads, self.dim_head).transpose(0, 2, 1, 3),
+            bias=bias,
+            mask=None if key_mask is None else key_mask.reshape(G, T))
+        out = fused.transpose(0, 2, 1, 3).reshape(
+            b, X * Y, T, heads * self.dim_head)
         out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                        name="to_out_0")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -43,7 +43,8 @@ def _attn_body(q, k, v, bias, mask):
     if bias is not None:
         sim = sim + bias
     if mask is not None:
-        sim = sim + jnp.where(mask[None, :] > 0, 0.0, NEG_INF)
+        # mask arrives as an (8, Tk) broadcast block; row 0 is the mask
+        sim = sim + jnp.where(mask[0][None, :] > 0, 0.0, NEG_INF)
     m = jnp.max(sim, axis=-1, keepdims=True)
     e = jnp.exp(sim - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
@@ -95,42 +96,61 @@ def fused_window_attention(q, k, v, bias=None, mask=None,
     G, H, Tq, D = q.shape
     Tk = k.shape[2]
 
+    # block the query axis so the (Tq_blk, Tk) similarity tile stays
+    # well under the ~16MB VMEM budget (softmax is over Tk, so query
+    # blocks are independent)
+    budget = 4 * 1024 * 1024  # bytes for the fp32 sim tile
+    tq_blk = Tq
+    while tq_blk > 8 and tq_blk * Tk * 4 > budget:
+        if tq_blk % 2:
+            break
+        tq_blk //= 2
+    n_q_blocks = Tq // tq_blk
+
     in_specs = [
-        pl.BlockSpec((1, 1, Tq, D), lambda g, h: (g, h, 0, 0),
+        pl.BlockSpec((1, 1, tq_blk, D), lambda g, h, t: (g, h, t, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Tk, D), lambda g, h: (g, h, 0, 0),
+        pl.BlockSpec((1, 1, Tk, D), lambda g, h, t: (g, h, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Tk, D), lambda g, h: (g, h, 0, 0),
+        pl.BlockSpec((1, 1, Tk, D), lambda g, h, t: (g, h, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
+    # masks get a broadcast 8-sublane axis: Mosaic requires the
+    # second-to-last block dim to be a multiple of 8 (or full)
+    def mask8(m):
+        return jnp.broadcast_to(m.astype(jnp.float32)[:, None, :],
+                                (G, 8, Tk))
+
     if bias is not None and mask is not None:
         kernel = _kernel_bias_mask
         in_specs += [
-            pl.BlockSpec((1, Tq, Tk), lambda g, h: (h, 0, 0),
+            pl.BlockSpec((1, tq_blk, Tk), lambda g, h, t: (h, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tk), lambda g, h: (g, 0),
+            pl.BlockSpec((1, 8, Tk), lambda g, h, t: (g, 0, 0),
                          memory_space=pltpu.VMEM)]
-        args += [bias.astype(jnp.float32), mask.astype(jnp.float32)]
+        args += [bias.astype(jnp.float32), mask8(mask)]
     elif bias is not None:
         kernel = _kernel_bias
-        in_specs += [pl.BlockSpec((1, Tq, Tk), lambda g, h: (h, 0, 0),
+        in_specs += [pl.BlockSpec((1, tq_blk, Tk),
+                                  lambda g, h, t: (h, t, 0),
                                   memory_space=pltpu.VMEM)]
         args += [bias.astype(jnp.float32)]
     elif mask is not None:
         kernel = _kernel_mask
-        in_specs += [pl.BlockSpec((1, Tk), lambda g, h: (g, 0),
+        in_specs += [pl.BlockSpec((1, 8, Tk), lambda g, h, t: (g, 0, 0),
                                   memory_space=pltpu.VMEM)]
-        args += [mask.astype(jnp.float32)]
+        args += [mask8(mask)]
     else:
         kernel = _kernel_plain
 
     flops = 2 * G * H * Tq * Tk * D * 2
     return pl.pallas_call(
         kernel,
-        grid=(G, H),
+        grid=(G, H, n_q_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, Tq, D), lambda g, h: (g, h, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, tq_blk, D),
+                               lambda g, h, t: (g, h, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, H, Tq, D), q.dtype),
         cost_estimate=pl.CostEstimate(

@@ -1,0 +1,131 @@
+"""Model latency benchmark CLI.
+
+Capability parity with reference nuscenes/scripts/benchmark.py:27-59
+(batch-1 timed forwards, fp32/bf16 switches, device sync) — with the
+dedup-proof scan-chain protocol from bench.py (remote-TPU tunnels can
+elide repeated identical dispatches, so each iteration's input depends on
+the previous output).
+
+  python -m cobevt_tpu.tools.benchmark --model corpbevt --iters 20
+  python -m cobevt_tpu.tools.benchmark --model sinbevt_nuscenes --bf16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser("cobevt_tpu benchmark")
+    p.add_argument("--model", default="corpbevt",
+                   choices=["corpbevt", "sinbevt_nuscenes"])
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--fp32", dest="bf16", action="store_false")
+    p.add_argument("--max_cav", type=int, default=5)
+    return p.parse_args()
+
+
+def build_corpbevt(bf16, max_cav):
+    import jax.numpy as jnp
+
+    from cobevt_tpu.configs import corpbevt_default
+    from cobevt_tpu.models.corpbevt import CorpBEVT
+
+    cfg = corpbevt_default(max_cav=max_cav)
+    model = CorpBEVT(cfg, dtype=jnp.bfloat16 if bf16 else None)
+    rng = np.random.RandomState(0)
+    B, L, M, img = 1, max_cav, 4, 512
+    intr = np.zeros((B, L, M, 3, 3), np.float32)
+    intr[..., 0, 0] = intr[..., 1, 1] = 460.0
+    intr[..., 0, 2] = intr[..., 1, 2] = img / 2
+    intr[..., 2, 2] = 1.0
+    batch = {
+        "inputs": jnp.asarray(rng.rand(B, L, M, img, img, 3), jnp.float32),
+        "intrinsic": jnp.asarray(intr),
+        "extrinsic": jnp.asarray(
+            np.tile(np.eye(4, dtype=np.float32), (B, L, M, 1, 1))),
+        "transformation_matrix": jnp.asarray(
+            np.tile(np.eye(4, dtype=np.float32), (B, L, 1, 1))),
+        "agent_mask": jnp.ones((B, L), jnp.float32),
+    }
+    return model, batch, "inputs"
+
+
+def build_sinbevt_nuscenes(bf16, _):
+    import jax.numpy as jnp
+
+    from cobevt_tpu.models.sinbevt_nuscenes import (
+        CrossViewTransformer,
+        PyramidAxialConfig,
+    )
+
+    model = CrossViewTransformer(
+        PyramidAxialConfig(), decoder_blocks=(128, 128, 64), dim_last=64,
+        outputs=(("bev", (0, 1)), ("center", (1, 2))),
+        dtype=jnp.bfloat16 if bf16 else None)
+    rng = np.random.RandomState(0)
+    B, n, h, w = 1, 6, 224, 480
+    intr = np.zeros((B, n, 3, 3), np.float32)
+    intr[..., 0, 0] = intr[..., 1, 1] = 250.0
+    intr[..., 0, 2] = w / 2
+    intr[..., 1, 2] = h / 2
+    intr[..., 2, 2] = 1.0
+    batch = {
+        "image": jnp.asarray(rng.rand(B, n, h, w, 3), jnp.float32),
+        "intrinsics": jnp.asarray(intr),
+        "extrinsics": jnp.asarray(
+            np.tile(np.eye(4, dtype=np.float32), (B, n, 1, 1))),
+    }
+    return model, batch, "image"
+
+
+def main():
+    opt = parse_args()
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+
+    builder = {"corpbevt": build_corpbevt,
+               "sinbevt_nuscenes": build_sinbevt_nuscenes}[opt.model]
+    model, batch, chain_key = builder(opt.bf16, opt.max_cav)
+
+    variables = jax.jit(model.init, static_argnums=2)(
+        jax.random.PRNGKey(0), batch, False)
+
+    K = opt.iters
+
+    def chain(v, b):
+        def body(x, _):
+            out = model.apply(v, dict(b, **{chain_key: x}), False)
+            leaf = jax.tree.leaves(out)[0]
+            return x + 1e-12 * leaf.mean().astype(x.dtype), ()
+        xK, _ = jax.lax.scan(body, b[chain_key], None, length=K)
+        return xK.sum()
+
+    chain_fn = jax.jit(chain)
+    float(chain_fn(variables, batch))     # compile + warmup
+    times = []
+    for i in range(opt.repeats):
+        b2 = dict(batch, **{chain_key: batch[chain_key] *
+                            (1.0 + 0.001 * (i + 1))})
+        t0 = time.perf_counter()
+        float(chain_fn(variables, b2))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) / K
+    print(json.dumps({
+        "model": opt.model,
+        "precision": "bf16" if opt.bf16 else "fp32",
+        "latency_ms": round(dt * 1000, 3),
+        "frames_per_sec": round(1.0 / dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
