@@ -84,13 +84,17 @@ def _xla_reference(q, k, v, bias, mask):
                       v.astype(sim.dtype)).astype(q.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
+@functools.partial(jax.jit,
+                   static_argnames=("use_pallas", "interpret"))
 def fused_window_attention(q, k, v, bias=None, mask=None,
-                           use_pallas: bool = True):
+                           use_pallas: bool = True,
+                           interpret: bool = False):
     """q: (G, H, Tq, D) pre-scaled; k, v: (G, H, Tk, D);
     bias: (H, Tq, Tk) or None; mask: (G, Tk) or None.
-    Returns (G, H, Tq, D) in q's dtype."""
-    if not use_pallas or jax.default_backend() != "tpu":
+    Returns (G, H, Tq, D) in q's dtype.  `interpret=True` runs the
+    Pallas kernel in interpreter mode (CPU testing)."""
+    if not use_pallas or (jax.default_backend() != "tpu"
+                          and not interpret):
         return _xla_reference(q, k, v, bias, mask)
 
     G, H, Tq, D = q.shape
@@ -157,4 +161,5 @@ def fused_window_attention(q, k, v, bias=None, mask=None,
             flops=flops,
             bytes_accessed=(q.size + k.size + v.size) * 2 + q.size * 2,
             transcendentals=G * H * Tq * Tk),
+        interpret=interpret,
     )(*args)
