@@ -100,15 +100,23 @@ def fused_window_attention(q, k, v, bias=None, mask=None,
     G, H, Tq, D = q.shape
     Tk = k.shape[2]
 
-    # block the query axis so the (Tq_blk, Tk) similarity tile stays
+    # Block the query axis so the (tq_blk, Tk) similarity tile stays
     # well under the ~16MB VMEM budget (softmax is over Tk, so query
-    # blocks are independent)
+    # blocks are independent).  Mosaic wants the sublane dim to be a
+    # multiple of 8, so pick a power-of-two block and zero-pad Tq up to
+    # a multiple of it (padded rows are discarded after the call).
     budget = 4 * 1024 * 1024  # bytes for the fp32 sim tile
-    tq_blk = Tq
-    while tq_blk > 8 and tq_blk * Tk * 4 > budget:
-        if tq_blk % 2:
-            break
-        tq_blk //= 2
+    tq_blk = 8
+    while tq_blk < 2048 and 2 * tq_blk * Tk * 4 <= budget and \
+            tq_blk < Tq:
+        tq_blk *= 2
+    Tq_pad = -(-Tq // tq_blk) * tq_blk
+    if Tq_pad != Tq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Tq_pad - Tq), (0, 0)))
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, Tq_pad - Tq), (0, 0)))
+    orig_tq = Tq
+    Tq = Tq_pad
     n_q_blocks = Tq // tq_blk
 
     in_specs = [
@@ -149,7 +157,7 @@ def fused_window_attention(q, k, v, bias=None, mask=None,
         kernel = _kernel_plain
 
     flops = 2 * G * H * Tq * Tk * D * 2
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(G, H, n_q_blocks),
         in_specs=in_specs,
@@ -163,3 +171,4 @@ def fused_window_attention(q, k, v, bias=None, mask=None,
             transcendentals=G * H * Tq * Tk),
         interpret=interpret,
     )(*args)
+    return out[:, :, :orig_tq] if orig_tq != Tq else out
