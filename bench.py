@@ -1,22 +1,52 @@
-"""Benchmark: CoBEVT flagship forward throughput on one TPU chip.
+"""Benchmark: BEV frames/sec on one TPU chip.
 
-Protocol mirrors the reference latency harness
-(nuscenes/scripts/benchmark.py:44-55: mean latency over timed batch-1
-forwards, device-synchronized) with `jax.block_until_ready` in place of
-`torch.cuda.synchronize()`.  One "frame" here is a full 5-agent x 4-camera
-512x512 cooperative sample through CorpBEVT (BEV 256^2) in bf16 — i.e.
-20 cameras per frame vs the baseline protocol's 6.
+Headline metric matches the BASELINE.md north-star protocol — single-
+vehicle 6-camera nuScenes SinBEVT (224x480 images, BEV 200^2, bf16,
+batch 1) with target >= 30 frames/sec/chip.  The cooperative flagship
+(CorpBEVT: 5 agents x 4 cameras x 512^2 -> fused BEV 256^2) is measured
+too and reported on stderr.
 
-Prints ONE JSON line:
+Timing protocol mirrors the reference harness
+(nuscenes/scripts/benchmark.py:44-55) but chains K forwards inside one
+jitted `lax.scan` with true data dependencies and fetches a scalar:
+remote-TPU tunnels can elide repeated identical dispatches and make
+`block_until_ready` unreliable, and the chain defeats both.
+
+Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-
-Baseline: BASELINE.md north star = 30 BEV frames/sec/chip.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def measure(model, batch, chain_key, K=10, repeats=3):
+    import jax
+
+    variables = jax.jit(model.init, static_argnums=2)(
+        jax.random.PRNGKey(0), batch, False)
+
+    def chain(v, b):
+        def body(x, _):
+            out = model.apply(v, dict(b, **{chain_key: x}), False)
+            leaf = jax.tree.leaves(out)[0]
+            return x + 1e-12 * leaf.mean().astype(x.dtype), ()
+        xK, _ = jax.lax.scan(body, b[chain_key], None, length=K)
+        return xK.sum()
+
+    chain_fn = jax.jit(chain)
+    float(chain_fn(variables, batch))          # compile + warmup
+    times = []
+    for i in range(repeats):
+        b2 = dict(batch, **{chain_key: batch[chain_key] *
+                            (1.0 + 0.001 * (i + 1))})
+        t0 = time.perf_counter()
+        float(chain_fn(variables, b2))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / K
 
 
 def main():
@@ -26,67 +56,35 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from cobevt_tpu.configs import corpbevt_default
-    from cobevt_tpu.models.corpbevt import CorpBEVT
+    from cobevt_tpu.tools.benchmark import (
+        build_corpbevt,
+        build_sinbevt_nuscenes,
+    )
 
-    cfg = corpbevt_default(max_cav=5)
-    model = CorpBEVT(cfg, dtype=jnp.bfloat16)
-
-    B, L, M, img = 1, cfg.max_cav, 4, 512
-    rng = np.random.RandomState(0)
-    intrinsic = np.zeros((B, L, M, 3, 3), np.float32)
-    intrinsic[..., 0, 0] = 460.0
-    intrinsic[..., 1, 1] = 460.0
-    intrinsic[..., 0, 2] = img / 2
-    intrinsic[..., 1, 2] = img / 2
-    intrinsic[..., 2, 2] = 1.0
-    batch = {
-        "inputs": jnp.asarray(rng.rand(B, L, M, img, img, 3), jnp.float32),
-        "intrinsic": jnp.asarray(intrinsic),
-        "extrinsic": jnp.asarray(
-            np.tile(np.eye(4, dtype=np.float32), (B, L, M, 1, 1))),
-        "transformation_matrix": jnp.asarray(
-            np.tile(np.eye(4, dtype=np.float32), (B, L, 1, 1))),
-        "agent_mask": jnp.ones((B, L), jnp.float32),
+    # headline: the BASELINE protocol (6-cam nuScenes SinBEVT)
+    model, batch, key = build_sinbevt_nuscenes(True, None)
+    dt = measure(model, batch, key, K=20)
+    headline = {
+        "metric": "sinbevt_nuscenes_6cam_frames_per_sec_per_chip",
+        "value": round(1.0 / dt, 3),
+        "unit": "frames/s",
+        "vs_baseline": round((1.0 / dt) / 30.0, 3),
     }
 
-    variables = jax.jit(model.init, static_argnums=2)(
-        jax.random.PRNGKey(0), batch, False)
+    # secondary: the cooperative flagship (5 agents x 4 cams x 512^2)
+    try:
+        model_c, batch_c, key_c = build_corpbevt(True, 5)
+        dt_c = measure(model_c, batch_c, key_c, K=10)
+        print(json.dumps({
+            "metric": "corpbevt_5agent_frames_per_sec_per_chip",
+            "value": round(1.0 / dt_c, 3),
+            "unit": "frames/s",
+            "vs_baseline": round((1.0 / dt_c) / 30.0, 3),
+        }), file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"corpbevt secondary bench failed: {e}", file=sys.stderr)
 
-    # Timing protocol: chain K forwards inside one jitted lax.scan with a
-    # true data dependency between iterations (each frame's input is
-    # perturbed by the previous output), then fetch a scalar.  This
-    # defeats dispatch memoization/elision in remote-TPU tunnels where
-    # `block_until_ready` is unreliable, and amortizes the host round
-    # trip over K frames.
-    K = 10
-
-    def chain(v, b):
-        def body(x, _):
-            out = model.apply(v, dict(b, inputs=x), False)
-            x2 = x + 1e-12 * out["dynamic_seg"].mean().astype(x.dtype)
-            return x2, ()
-        xK, _ = jax.lax.scan(body, b["inputs"], None, length=K)
-        return xK.sum()
-
-    chain_fn = jax.jit(chain)
-    float(chain_fn(variables, batch))        # compile + warmup
-
-    times = []
-    for i in range(3):
-        b2 = dict(batch, inputs=batch["inputs"] * (1.0 + 0.001 * (i + 1)))
-        t0 = time.perf_counter()
-        float(chain_fn(variables, b2))       # scalar fetch forces completion
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times)) / K
-
-    fps = 1.0 / dt
-    print(json.dumps({
-        "metric": "corpbevt_5agent_frames_per_sec_per_chip",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
-    }))
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,8 @@ def parse_args():
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--fp32", dest="bf16", action="store_false")
     p.add_argument("--max_cav", type=int, default=5)
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace here")
     return p.parse_args()
 
 
@@ -111,6 +113,9 @@ def main():
 
     chain_fn = jax.jit(chain)
     float(chain_fn(variables, batch))     # compile + warmup
+    if opt.profile_dir:
+        with jax.profiler.trace(opt.profile_dir):
+            float(chain_fn(variables, batch))
     times = []
     for i in range(opt.repeats):
         b2 = dict(batch, **{chain_key: batch[chain_key] *

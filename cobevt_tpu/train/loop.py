@@ -28,6 +28,22 @@ from cobevt_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from cobevt_tpu.train.step import make_eval_step, make_train_step
 
 
+def snapshot_git_state(log_dir: str):
+    """Record the working-tree diff + HEAD at train start (reference
+    nuscenes/.../callbacks/gitdiff_callback.py:23)."""
+    import subprocess
+
+    try:
+        head = subprocess.run(["git", "rev-parse", "HEAD"],
+                              capture_output=True, text=True).stdout
+        diff = subprocess.run(["git", "diff"], capture_output=True,
+                              text=True).stdout
+        with open(os.path.join(log_dir, "git_state.txt"), "w") as f:
+            f.write(f"HEAD: {head}\n{diff}")
+    except Exception:
+        pass
+
+
 class MetricLogger:
     """Scalar logging: stdout + JSONL + tensorboard when available."""
 
@@ -37,6 +53,7 @@ class MetricLogger:
         self._jsonl = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
+            snapshot_git_state(log_dir)
             self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
             try:
                 from tensorboardX import SummaryWriter
