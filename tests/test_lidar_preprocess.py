@@ -127,3 +127,32 @@ def test_pixor_label_roundtrip():
         got.add(0 if d0 < d1 else 1)
         assert min(d0, d1) < 1.0
     assert got == {0, 1}
+
+
+def test_debug_roundtrip_helpers():
+    from cobevt_tpu.postprocess.voxel_postprocessor import (
+        AnchorArgs,
+        VoxelPostprocessor,
+    )
+    from cobevt_tpu.tools.debug_utils import (
+        check_anchor_roundtrip,
+        check_pixor_roundtrip,
+    )
+
+    args = AnchorArgs(cav_lidar_range=(-20, -20, -3, 20, 20, 1),
+                      vw=0.4, vh=0.4, W=100, H=100, feature_stride=2)
+    vp = VoxelPostprocessor(args, "hwl", 0.6, 0.45, 0.2, 0.15, 10)
+    gt = np.zeros((10, 7))
+    gt[0] = [2.0, 3.0, -1.0, 1.56, 1.6, 3.9, 0.0]
+    mask = np.zeros(10)
+    mask[0] = 1
+    assert check_anchor_roundtrip(vp, gt, mask, tol=1.0)
+
+    geo = BevGeometry(L1=-20.0, W1=-20.0, res=0.4, downsample_rate=2,
+                      label_shape=(50, 50, 7))
+    lp = LidarBevPostprocessor(geo, score_threshold=0.5)
+    gt2 = np.zeros((5, 7))
+    gt2[0] = [1.0, 2.0, 0, 4.0, 2.0, 1.5, 0.4]
+    m2 = np.zeros(5)
+    m2[0] = 1
+    assert check_pixor_roundtrip(lp, gt2, m2, tol=1.0)
