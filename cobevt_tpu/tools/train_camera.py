@@ -93,8 +93,14 @@ def main():
                                 visible=tp.get("visible", True),
                                 train=False)
 
-    train_loader = DataLoader(train_ds, tp["batch_size"], shuffle=True)
-    val_loader = DataLoader(val_ds, 1, shuffle=False, drop_last=False)
+    # per-host sharding (multi-host: one process per host a la
+    # jax.distributed.initialize; replaces DistributedSampler)
+    train_loader = DataLoader(train_ds, tp["batch_size"], shuffle=True,
+                              num_shards=jax.process_count(),
+                              shard_index=jax.process_index())
+    val_loader = DataLoader(val_ds, 1, shuffle=False, drop_last=False,
+                            num_shards=jax.process_count(),
+                            shard_index=jax.process_index())
 
     steps_per_epoch = max(len(train_loader), 1)
     sched_cfg = hypes["lr_scheduler"]
