@@ -84,15 +84,8 @@ def _xla_reference(q, k, v, bias, mask):
                       v.astype(sim.dtype)).astype(q.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("use_pallas", "interpret"))
-def fused_window_attention(q, k, v, bias=None, mask=None,
-                           use_pallas: bool = True,
-                           interpret: bool = False):
-    """q: (G, H, Tq, D) pre-scaled; k, v: (G, H, Tk, D);
-    bias: (H, Tq, Tk) or None; mask: (G, Tk) or None.
-    Returns (G, H, Tq, D) in q's dtype.  `interpret=True` runs the
-    Pallas kernel in interpreter mode (CPU testing)."""
+def _forward_core(q, k, v, bias, mask, use_pallas: bool,
+                  interpret: bool):
     if not use_pallas or (jax.default_backend() != "tpu"
                           and not interpret):
         return _xla_reference(q, k, v, bias, mask)
@@ -172,3 +165,58 @@ def fused_window_attention(q, k, v, bias=None, mask=None,
         interpret=interpret,
     )(*args)
     return out[:, :, :orig_tq] if orig_tq != Tq else out
+
+
+# ---------------------------------------------------------------------------
+# autodiff: fused forward, XLA-recompute backward (flash-style: the
+# similarity tensor is rebuilt in the backward pass instead of saved)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused(q, k, v, bias, mask, use_pallas, interpret):
+    return _forward_core(q, k, v, bias, mask, use_pallas, interpret)
+
+
+def _fused_fwd(q, k, v, bias, mask, use_pallas, interpret):
+    out = _forward_core(q, k, v, bias, mask, use_pallas, interpret)
+    return out, (q, k, v, bias, mask)
+
+
+def _fused_bwd(use_pallas, interpret, res, g):
+    q, k, v, bias, mask = res
+    sim = jnp.einsum("ghqd,ghkd->ghqk", q, k,
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        sim = sim + bias[None].astype(sim.dtype)
+    if mask is not None:
+        sim = sim + jnp.where(mask[:, None, None, :] > 0, 0.0,
+                              NEG_INF).astype(sim.dtype)
+    p = jax.nn.softmax(sim, axis=-1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("ghqk,ghqd->ghkd", p, g32)
+    dp = jnp.einsum("ghqd,ghkd->ghqk", g32, v32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("ghqk,ghkd->ghqd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("ghqk,ghqd->ghkd", ds, q.astype(jnp.float32))
+    dbias = ds.sum(axis=0).astype(bias.dtype) if bias is not None \
+        else None
+    dmask = jnp.zeros_like(mask) if mask is not None else None
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias, dmask)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"))
+def fused_window_attention(q, k, v, bias=None, mask=None,
+                           use_pallas: bool = True,
+                           interpret: bool = False):
+    """q: (G, H, Tq, D) pre-scaled; k, v: (G, H, Tk, D);
+    bias: (H, Tq, Tk) or None; mask: (G, Tk) or None.
+    Returns (G, H, Tq, D) in q's dtype.  Differentiable: forward runs
+    the fused Pallas kernel on TPU, backward recomputes the attention
+    matrix in XLA (nothing large is saved).  `interpret=True` runs the
+    kernel body in interpreter mode (CPU testing)."""
+    return _fused(q, k, v, bias, mask, use_pallas, interpret)

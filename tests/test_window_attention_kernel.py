@@ -44,3 +44,29 @@ def test_kernel_query_blocking():
     out = fused_window_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("use_bias,use_mask", [(False, False),
+                                               (True, True)])
+def test_kernel_gradients_match_xla(use_bias, use_mask):
+    import jax
+
+    q, k, v, bias, mask = data(G=2, H=2, Tq=16, Tk=24)
+    b = bias if use_bias else None
+    m = mask if use_mask else None
+
+    def loss_fused(q, k, v, b):
+        out = fused_window_attention(q, k, v, b, m, interpret=True)
+        return (out ** 2).sum()
+
+    def loss_ref(q, k, v, b):
+        out = _xla_reference(q, k, v, b, m)
+        return (out ** 2).sum()
+
+    args = (q, k, v, b) if use_bias else (q, k, v, None)
+    argnums = (0, 1, 2, 3) if use_bias else (0, 1, 2)
+    gf = jax.grad(loss_fused, argnums)(q, k, v, b)
+    gr = jax.grad(loss_ref, argnums)(q, k, v, b)
+    for a, r in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-4, rtol=1e-3)
