@@ -134,3 +134,23 @@ def test_nearest_resize_matches_torch():
     ours = resize_nearest(jnp.asarray(x.transpose(0, 2, 3, 1)), (20, 20))
     np.testing.assert_allclose(
         np.asarray(ours).transpose(0, 3, 1, 2), ref, atol=0)
+
+
+def test_cvt_nuscenes_dense_encoder():
+    from cobevt_tpu.models.cvt_nuscenes import (
+        CVTNuScenesConfig,
+        CVTNuScenesEncoder,
+    )
+
+    cfg = CVTNuScenesConfig(
+        dim=16, middle=(1, 1), image_height=64, image_width=128,
+        backbone_model="efficientnet-b0",
+        backbone_layers=("reduction_2", "reduction_4"),
+        heads=2, dim_head=8, bev_height=40, bev_width=40,
+        decoder_blocks=3, remat_backbone=False)
+    model = CVTNuScenesEncoder(cfg)
+    batch = nusc_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    out = model.apply(variables, batch, False)
+    assert out.shape == (2, 5, 5, 16)
+    assert np.isfinite(np.asarray(out)).all()
