@@ -108,3 +108,56 @@ def test_bev_label_geometry_consistency():
     final_bev = cfg.fax.bev_height // cfg.fax.upsample_scales[-1]
     out = final_bev * (2 ** cfg.decoder_num_layer)
     assert out == BEV
+
+
+def test_overfit_single_batch():
+    """Learning sanity: 25 optimizer steps on one tiny batch should cut
+    the loss substantially (catches dead gradients / wrong label
+    wiring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cobevt_tpu.configs.hypes import corpbevt_config_from_hypes
+    from cobevt_tpu.losses import VanillaSegLoss
+    from cobevt_tpu.models.corpbevt import SinBEVT
+    from cobevt_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    import optax
+
+    cfg = corpbevt_config_from_hypes(TINY_HYPES)
+    model = SinBEVT(cfg)
+    rng = np.random.RandomState(0)
+    intr = np.zeros((1, 1, 2, 3, 3), np.float32)
+    intr[..., 0, 0] = intr[..., 1, 1] = 60.0
+    intr[..., 0, 2] = intr[..., 1, 2] = IMG / 2
+    intr[..., 2, 2] = 1.0
+    batch = {
+        "inputs": jnp.asarray(
+            rng.rand(1, 1, 2, IMG, IMG, 3).astype(np.float32)),
+        "intrinsic": jnp.asarray(intr),
+        "extrinsic": jnp.asarray(
+            np.tile(np.eye(4, dtype=np.float32), (1, 1, 2, 1, 1))),
+        "gt_dynamic": jnp.asarray(rng.randint(0, 2, (1, 1, BEV, BEV))),
+        "gt_static": jnp.asarray(rng.randint(0, 2, (1, 1, BEV, BEV))),
+    }
+    seg = VanillaSegLoss(target="dynamic", d_weights=2.0, d_coe=1.0)
+
+    def crit(out, b):
+        return seg(out, {"gt_dynamic": b["gt_dynamic"],
+                         "gt_static": b["gt_static"]})
+
+    tx = make_optimizer(optax.constant_schedule(2e-3), weight_decay=0.0,
+                        eps=1e-8)
+    state = create_train_state(model, tx, batch)
+    step = make_train_step(model, crit, donate=False)
+    key = jax.random.PRNGKey(0)
+    first = None
+    for i in range(25):
+        state, logs = step(state, batch, jax.random.fold_in(key, i))
+        if first is None:
+            first = float(logs["loss"])
+    last = float(logs["loss"])
+    assert last < 0.6 * first, (first, last)
