@@ -290,7 +290,11 @@ class OPV2VCameraDataset:
             if dist > COM_RANGE or slot >= L:
                 continue
 
-            # wild settings: delayed observation + noisy pose
+            # wild settings: images observed at the delayed timestamp,
+            # camera parameters at the current one, agent->ego transform
+            # from the delayed (possibly noisy) pose to the current ego
+            # pose (reference basedataset.py:256-281 + reform_camera_param
+            # :456, whose delay handling is current-timestamp only)
             delay = self.wild.time_delay_frames(cav["ego"], self.rng)
             delay = min(delay, t_index)
             ts_delay = stamps[t_index - delay]
@@ -303,7 +307,7 @@ class OPV2VCameraDataset:
             t_cav_to_ego = x1_to_x2(cav_pose, ego_lidar_pose)
 
             for m in range(M):
-                cam = obs_params[f"camera{m}"]
+                cam = params[f"camera{m}"]
                 img = self._read_image(obs["cameras"][m])
                 inputs[slot, m] = preprocess_camera_image(img,
                                                           self.image_hw)
