@@ -54,6 +54,7 @@ class CorpBEVTConfig:
     fusion_dropout: float = 0.1
     fusion_depth: int = 3
     fusion_mask: bool = True
+    fusion_mean_over_valid: bool = False
     # decoder / head
     decoder_num_layer: int = 3
     decoder_num_ch: Tuple[int, ...] = (32, 64, 128)
@@ -126,8 +127,10 @@ class CorpBEVT(nn.Module):
             input_dim=x.shape[-1], mlp_dim=cfg.fusion_mlp_dim,
             agent_size=cfg.max_cav, window_size=cfg.fusion_window_size,
             dim_head=cfg.fusion_dim_head, dropout=cfg.fusion_dropout,
-            depth=cfg.fusion_depth, mask=cfg.fusion_mask, dtype=self.dtype,
-            name="fusion_net")(x, com_mask, train)
+            depth=cfg.fusion_depth, mask=cfg.fusion_mask,
+            mean_over_valid=cfg.fusion_mean_over_valid, dtype=self.dtype,
+            name="fusion_net")(x, com_mask, train,
+                               agent_mask=agent_mask)
 
         y = NaiveDecoder(fused.shape[-1], cfg.decoder_num_layer,
                          cfg.decoder_num_ch, dtype=self.dtype,

@@ -30,15 +30,20 @@ NEG_INF = -1e9
 
 
 @functools.lru_cache(maxsize=None)
-def rel_pos_indices_3d(agents: int, wh: int, ww: int) -> np.ndarray:
-    """(T, T) index table into a (2L-1)(2wh-1)(2ww-1) embedding, where
-    T = agents*wh*ww (reference swap_fusion_modules.py:62-83)."""
+def rel_pos_indices_3d(table_agents: int, wh: int, ww: int,
+                       agents: int = None) -> np.ndarray:
+    """(T, T) index table into a (2*table_agents-1)(2wh-1)(2ww-1)
+    embedding for T = agents*wh*ww tokens (reference
+    swap_fusion_modules.py:62-83).  ``agents`` may be smaller than
+    ``table_agents`` (agent-count bucketing at inference): the offsets
+    and strides stay those of the full table."""
+    agents = table_agents if agents is None else agents
     coords = np.stack(np.meshgrid(np.arange(agents), np.arange(wh),
                                   np.arange(ww), indexing="ij"))
     flat = coords.reshape(3, -1)                       # (3, T)
     rel = flat[:, :, None] - flat[:, None, :]
     rel = rel.transpose(1, 2, 0)
-    rel[..., 0] += agents - 1
+    rel[..., 0] += table_agents - 1
     rel[..., 1] += wh - 1
     rel[..., 2] += ww - 1
     rel[..., 0] *= (2 * wh - 1) * (2 * ww - 1)
@@ -79,7 +84,8 @@ class FusionAttention(nn.Module):
 
         idx = jnp.asarray(rel_pos_indices_3d(self.agent_size,
                                              self.window_size,
-                                             self.window_size))
+                                             self.window_size,
+                                             agents=l))
         table_size = ((2 * self.agent_size - 1) *
                       (2 * self.window_size - 1) *
                       (2 * self.window_size - 1))
@@ -232,12 +238,18 @@ class SwapFusionEncoder(nn.Module):
     dropout: float = 0.1
     depth: int = 3
     mask: bool = True
+    # reference semantics divide the agent mean by max_cav even for
+    # padded rows (swap_fusion_modules.py:275-281); `mean_over_valid`
+    # instead averages only live agents, which makes the output invariant
+    # to padding and enables exact agent-count bucketing at serving time
+    mean_over_valid: bool = False
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, mask=None, train: bool = False):
-        """x: (B, L, H, W, d); mask: (B, L, H, W).
-        Returns fused (B, H, W, d)."""
+    def __call__(self, x, mask=None, train: bool = False,
+                 agent_mask=None):
+        """x: (B, L, H, W, d); mask: (B, L, H, W); agent_mask: (B, L)
+        (only used when mean_over_valid).  Returns fused (B, H, W, d)."""
         if not self.mask:
             mask = None
         for i in range(self.depth):
@@ -246,7 +258,12 @@ class SwapFusionEncoder(nn.Module):
                                 self.dropout, masked=self.mask,
                                 dtype=self.dtype,
                                 name=f"layers_{i}")(x, mask, train)
-        x = x.mean(axis=1)      # mean over agents (reference mlp_head Reduce)
+        if self.mean_over_valid and agent_mask is not None:
+            w = agent_mask[:, :, None, None, None].astype(x.dtype)
+            x = (x * w).sum(axis=1) / jnp.maximum(
+                w.sum(axis=1), 1.0)
+        else:
+            x = x.mean(axis=1)  # reference mlp_head Reduce over max_cav
         x = layer_norm(dtype=self.dtype, name="mlp_head_2")(x)
         return nn.Dense(self.input_dim, dtype=self.dtype,
                         name="mlp_head_3")(x)
