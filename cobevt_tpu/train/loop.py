@@ -87,6 +87,8 @@ class TrainerConfig:
     ckpt_dir: Optional[str] = None
     log_dir: Optional[str] = None
     seg_target: str = "dynamic"
+    vis_dir: Optional[str] = None   # dump GT|pred panels at validation
+    vis_samples: int = 4
 
 
 class Trainer:
@@ -149,8 +151,22 @@ class Trainer:
         seg_utils.cal_iou_training / inference_camera.py:78-84)."""
         conf_dyn = np.zeros((2, 2), np.float64)
         conf_static = np.zeros((3, 3), np.float64)
+        dumped = 0
         for batch in val_loader:
             out, _ = self.eval_step(self.state, batch)
+            if self.cfg.vis_dir and dumped < self.cfg.vis_samples:
+                # per-epoch image dumps (reference
+                # train_utils.save_bev_seg_binary :275)
+                from cobevt_tpu.utils.visualization import (
+                    save_image,
+                    seg_panel,
+                )
+                panel = seg_panel(
+                    {k: np.asarray(v) for k, v in out.items()}, batch)
+                save_image(os.path.join(
+                    self.cfg.vis_dir,
+                    f"step{self.global_step}_{dumped}.png"), panel)
+                dumped += 1
             if "gt_dynamic" in batch:
                 pred = np.asarray(out["dynamic_seg"]).argmax(-1)
                 conf_dyn += np.asarray(confusion_counts(
