@@ -53,3 +53,22 @@ def test_dataset_registry():
     import pytest
     with pytest.raises(KeyError):
         build_dataset({"fusion": {"core_method": "nope"}})
+
+
+def test_config_export_roundtrip(tmp_path):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "cobevt_tpu.tools.export_config",
+         "corpbevt"], capture_output=True, text=True, check=True)
+    path = tmp_path / "corpbevt.yaml"
+    path.write_text(out.stdout)
+
+    from cobevt_tpu.configs import corpbevt_default
+    from cobevt_tpu.configs.hypes import (
+        corpbevt_config_from_hypes,
+        load_hypes,
+    )
+    cfg = corpbevt_config_from_hypes(load_hypes(str(path)))
+    assert cfg == corpbevt_default()
