@@ -4,4 +4,5 @@ from cobevt_tpu.parallel.mesh import (
     param_sharding,
     tensor_parallel_spec,
     shard_batch,
+    cooperative_batch_sharding,
 )

@@ -49,6 +49,33 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+# arrays in a cooperative batch that carry the agent axis at dim 1
+_AGENT_AXIS_KEYS = ("inputs", "intrinsic", "extrinsic",
+                    "transformation_matrix", "agent_mask",
+                    "voxel_features", "voxel_num_points", "voxel_coords",
+                    "voxel_mask")
+
+
+def cooperative_batch_sharding(mesh: Mesh, batch):
+    """Shard a cooperative batch (B, L, ...) over ("data", "model"):
+    the batch over "data" AND the agent axis over "model".
+
+    This is the natural cooperative-perception parallelism — each chip
+    runs one vehicle's cameras through the encoder + FAX exactly as a
+    real deployment would, and XLA inserts the all-gather of per-agent
+    BEV maps at the fusion boundary.  Keys without an agent axis
+    replicate over "model"."""
+    out = {}
+    for key, value in batch.items():
+        if (key in _AGENT_AXIS_KEYS and value.ndim >= 2 and
+                value.shape[1] % mesh.shape["model"] == 0):
+            spec = P("data", "model")
+        else:
+            spec = P("data")
+        out[key] = jax.device_put(value, NamedSharding(mesh, spec))
+    return out
+
+
 def shard_batch(mesh: Mesh, batch):
     """Device-put a host batch pytree with the batch axis sharded."""
     s = batch_sharding(mesh)
