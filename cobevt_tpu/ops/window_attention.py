@@ -32,12 +32,6 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, has_bias, has_mask):
-    # refs arrive with leading (1, 1) block dims; optional operands are
-    # appended before o_ref by pallas_call ordering below
-    pass  # replaced by variants
-
-
 def _attn_body(q, k, v, bias, mask):
     sim = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
     if bias is not None:
