@@ -75,3 +75,20 @@ def test_registry_dispatch():
         "cvt_fcooper", "cvt_v2vnet", "cvt_disconet"}
     with pytest.raises(KeyError):
         create_model("nope")
+
+
+def test_corpbevt_with_compression():
+    """V2V bandwidth-compression path (NaiveCompressor) runs and alters
+    features."""
+    import dataclasses
+
+    from tests.test_train_multichip import tiny_batch, tiny_config
+    from cobevt_tpu.models.corpbevt import CorpBEVT
+
+    cfg = dataclasses.replace(tiny_config(max_cav=2), compression=2)
+    model = CorpBEVT(cfg)
+    batch = tiny_batch(B=1, L=2)
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    assert "naive_compressor" in variables["params"]
+    out = model.apply(variables, batch, False)
+    assert np.isfinite(np.asarray(out["dynamic_seg"])).all()
