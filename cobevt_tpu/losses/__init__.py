@@ -6,3 +6,4 @@ from cobevt_tpu.losses.seg_losses import (
     MultipleLoss,
     weighted_cross_entropy,
 )
+from cobevt_tpu.losses.detection_loss import PointPillarLoss, smooth_l1
