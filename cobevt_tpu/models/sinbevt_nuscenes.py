@@ -89,9 +89,12 @@ class PyramidAxialEncoder(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, batch: Dict, train: bool = False):
+    def __call__(self, batch: Dict, train: bool = False, features=None):
         """batch: image (B, n, H, W, 3) in [0,1]; intrinsics (B, n, 3, 3);
-        extrinsics (B, n, 4, 4).  Returns (B, H', W', dim[-1])."""
+        extrinsics (B, n, 4, 4).  Returns (B, H', W', dim[-1]).
+
+        ``features`` (list of (B*n, h, w, c)) bypasses the backbone —
+        used for golden parity tests and backbone-feature caching."""
         cfg = self.config
         image = batch["image"]
         B, n, H, W, _ = image.shape
@@ -99,11 +102,14 @@ class PyramidAxialEncoder(nn.Module):
         I_inv = jnp.linalg.inv(batch["intrinsics"].astype(jnp.float32))
         E_inv = jnp.linalg.inv(batch["extrinsics"].astype(jnp.float32))
 
-        flat = normalize_image(image.reshape(B * n, H, W, 3))
-        feats = EfficientNetExtractor(
-            cfg.backbone_layers, cfg.backbone_model,
-            remat=cfg.remat_backbone, dtype=self.dtype,
-            name="backbone")(flat, train)
+        if features is not None:
+            feats = list(features)
+        else:
+            flat = normalize_image(image.reshape(B * n, H, W, 3))
+            feats = EfficientNetExtractor(
+                cfg.backbone_layers, cfg.backbone_model,
+                remat=cfg.remat_backbone, dtype=self.dtype,
+                name="backbone")(flat, train)
         if cfg.scale < 1.0:
             feats = [jax.image.resize(
                 f, (f.shape[0], int(f.shape[1] * cfg.scale),
