@@ -69,15 +69,27 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded put that notices consumer abandonment (early break
+            # from the iterator) instead of blocking forever
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 for chunk in batches:
                     if stop.is_set():
                         return
                     samples = [self.dataset[int(j)] for j in chunk]
-                    out_q.put(self.collate(samples))
+                    if not _put(self.collate(samples)):
+                        return
             finally:
-                out_q.put(None)
+                _put(None)
 
         worker = threading.Thread(target=produce, daemon=True)
         worker.start()

@@ -190,3 +190,21 @@ def test_nuscenes_generated_reader(tmp_path):
     # principal point shifted by crop
     np.testing.assert_allclose(
         s["intrinsics"][0, 1, 2], 45.0 * (32 + 8) / H0 - 8, rtol=1e-5)
+
+
+def test_loader_early_break_no_leak(tmp_path):
+    import threading
+
+    root = str(tmp_path / "train")
+    write_opv2v_fixture(root, n_scenarios=1, n_cavs=2, n_stamps=3)
+    db = OPV2VScenarioDatabase(root, max_cav=2)
+    ds = OPV2VCameraDataset(db, image_hw=(IMG, IMG), bev_hw=(BEV, BEV))
+    loader = DataLoader(ds, batch_size=1, shuffle=False,
+                        drop_last=False, prefetch=1)
+    before = threading.active_count()
+    for _ in range(3):
+        for batch in loader:
+            break                      # abandon mid-epoch
+    import time
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1
