@@ -55,3 +55,26 @@ def test_second_style_pipeline():
     bev = height_compression(enc)
     assert bev.shape == (1, 4, 4, enc.shape[1] * 128)
     assert np.isfinite(np.asarray(bev)).all()
+
+
+def test_att_bev_backbone():
+    """Per-scale attention-fused BEV backbone over padded agents."""
+    from cobevt_tpu.models.lidar.bev_backbone import AttBEVBackbone
+
+    rng = np.random.RandomState(2)
+    B, L = 1, 3
+    x = jnp.asarray(rng.randn(B, L, 16, 16, 8).astype(np.float32))
+    mask = jnp.asarray(np.array([[1.0, 1.0, 0.0]], np.float32))
+    model = AttBEVBackbone(
+        layer_nums=(1, 1), layer_strides=(2, 2), num_filters=(16, 32),
+        upsample_strides=(1, 2), num_upsample_filter=(16, 16),
+        compression=1)
+    variables = model.init(jax.random.PRNGKey(0), x, mask, False)
+    out = model.apply(variables, x, mask, False)
+    assert out.shape == (B, 8, 8, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    # padded agent must not influence the fused output
+    x2 = x.at[:, 2].set(123.0)
+    out2 = model.apply(variables, x2, mask, False)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
+                               atol=1e-5)
