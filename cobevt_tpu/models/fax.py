@@ -29,7 +29,7 @@ import numpy as np
 from einops import rearrange, repeat
 
 from cobevt_tpu.geometry.transforms import generate_grid, get_view_matrix
-from cobevt_tpu.ops.window_attention import fused_window_attention
+from cobevt_tpu.ops.window_attention import fused_window_attention_packed
 from cobevt_tpu.nn.layers import (
     Bottleneck,
     batch_norm,
@@ -80,6 +80,21 @@ def rel_pos_indices_2d(window: int) -> np.ndarray:
     grid = np.stack([gy.ravel(), gx.ravel()], axis=-1)     # (w^2, 2)
     rel = grid[:, None] - grid[None, :] + window - 1
     return (rel[..., 0] * (2 * window - 1) + rel[..., 1]).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def rel_onehot_1d(window: int) -> np.ndarray:
+    """(w, w, 2w-1) 0/1: [a, b, d] = 1 iff a - b + w - 1 == d.
+
+    The 2D relative-position bias matrix is block-Toeplitz: entry
+    (i=(y1,x1), j=(y2,x2)) depends only on (y1-y2, x1-x2).  Expanding the
+    (2w-1)^2-row table into the (w^2, w^2) bias via this factor pair
+    turns a 1M-row gather (profiled at ~2.6ms/step for w=32) into two
+    tiny MXU matmuls."""
+    a = np.arange(window)
+    d = np.arange(2 * window - 1)
+    return ((a[:, None, None] - a[None, :, None] + window - 1)
+            == d[None, None, :]).astype(np.float32)
 
 
 def window_partition(x, wh: int, ww: int):
@@ -166,37 +181,46 @@ class SelfAttention(nn.Module):
     def __call__(self, x, train: bool = False):
         B, H, W, d = x.shape
         heads = self.dim // self.dim_head
+        w = self.window_size
+        n_rel = 2 * w - 1
         tokens = x.reshape(B, H * W, d)
         qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype,
                        name="to_qkv")(tokens)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q * (self.dim_head ** -0.5)
 
-        def split_heads(t):
-            return t.reshape(B, H * W, heads, self.dim_head)
-
-        q = split_heads(q) * (self.dim_head ** -0.5)
-        k = split_heads(k)
-        v = split_heads(v)
-
-        idx = jnp.asarray(rel_pos_indices_2d(self.window_size))
-        bias = nn.Embed((2 * self.window_size - 1) ** 2, heads,
-                        name="rel_pos_bias")(idx)        # (i, j, heads)
-        bias = bias.transpose(2, 0, 1)                    # (heads, i, j)
+        # Toeplitz expansion of the rel-pos table: identity-gather the
+        # (n_rel^2, heads) table (keeps the reference param path
+        # rel_pos_bias/embedding), then expand to the (w^2, heads*w^2)
+        # flat bias with two small einsums against constant one-hot
+        # factors — no (w^2 x w^2) gather.
+        table = nn.Embed(n_rel * n_rel, heads,
+                         name="rel_pos_bias")(jnp.arange(n_rel * n_rel))
+        t4 = table.reshape(n_rel, n_rel, heads).astype(jnp.float32)
+        oh = jnp.asarray(rel_onehot_1d(w))                 # (w, w, 2w-1)
+        bias5 = jnp.einsum("deh,ikd,jle->ijhkl", t4, oh, oh)
+        bias_flat = bias5.reshape(w * w, heads * w * w)
 
         if train and self.dropout > 0:
             # attention-dropout path stays on the unfused implementation
-            sim = jnp.einsum("bihd,bjhd->bhij", q, k,
+            def split_heads(t):
+                return t.reshape(B, H * W, heads, self.dim_head)
+
+            bias = bias5.transpose(2, 0, 1, 3, 4).reshape(
+                heads, w * w, w * w)
+            sim = jnp.einsum("bihd,bjhd->bhij", split_heads(q),
+                             split_heads(k),
                              preferred_element_type=jnp.float32)
             sim = sim + bias[None]
             attn = jax.nn.softmax(sim, axis=-1)
             attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-            out = jnp.einsum("bhij,bjhd->bihd", attn, v.astype(sim.dtype))
+            out = jnp.einsum("bhij,bjhd->bihd", attn,
+                             split_heads(v).astype(sim.dtype))
+            out = out.reshape(B, H, W, heads * self.dim_head)
         else:
-            fused = fused_window_attention(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), bias=bias)
-            out = fused.transpose(0, 2, 1, 3)
-        out = out.reshape(B, H, W, heads * self.dim_head)
+            fused = fused_window_attention_packed(
+                q, k, v, n_heads=heads, bias_flat=bias_flat)
+            out = fused.reshape(B, H, W, heads * self.dim_head)
         out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                        name="to_out_0")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)
@@ -230,27 +254,19 @@ class CrossWinAttention(nn.Module):
                             use_bias=self.qkv_bias, dtype=self.dtype,
                             name=f"{name}_1")(t)
 
-        q = proj(q, "to_q")
+        q = proj(q, "to_q") * (self.dim_head ** -0.5)
         k = proj(k, "to_k")
         v = proj(v, "to_v")
 
-        def split_heads(t):
-            return t.reshape(*t.shape[:-1], self.heads, self.dim_head)
-
-        q = split_heads(q) * (self.dim_head ** -0.5)
-        k = split_heads(k)
-        v = split_heads(v)
-
-        # one fused-attention program per (window, head): QK^T never
-        # touches HBM (cobevt_tpu/ops/window_attention.py)
-        bw = q.shape[0] * q.shape[1]
-        fused = fused_window_attention(
-            q.reshape(bw, *q.shape[2:]).transpose(0, 2, 1, 3),
-            k.reshape(bw, *k.shape[2:]).transpose(0, 2, 1, 3),
-            v.reshape(bw, *v.shape[2:]).transpose(0, 2, 1, 3))
-        out = fused.transpose(0, 2, 1, 3).reshape(
-            q.shape[0], q.shape[1], q.shape[2],
-            self.heads * self.dim_head)
+        # one fused-attention program per window, heads packed in the
+        # channel axis: QK^T never touches HBM and no head-major layout
+        # copies are materialized (cobevt_tpu/ops/window_attention.py)
+        bq, nwin, Tq, C = q.shape
+        Tk = k.shape[2]
+        fused = fused_window_attention_packed(
+            q.reshape(bq * nwin, Tq, C), k.reshape(bq * nwin, Tk, C),
+            v.reshape(bq * nwin, Tk, C), n_heads=self.heads)
+        out = fused.reshape(bq, nwin, Tq, C)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
         out = rearrange(out, "b (x y) (n w1 w2) d -> b n x y w1 w2 d",
@@ -358,8 +374,13 @@ class CrossViewSwapAttention(nn.Module):
         x_skip = query
 
         # --- grid (global) cross attention ---
-        qg = window_partition(
-            repeat(query, "b H W d -> b n H W d", n=n), *self.q_win_size)
+        # The reference repeats the query per camera here
+        # (fax_modules.py:420), but after the local branch the query has
+        # no per-camera content — the n copies are identical, their
+        # attention outputs are identical, and the mean over n is the
+        # identity.  Computing with a single copy is exact and cuts the
+        # grid branch's q-side work n-fold.
+        qg = window_partition(query[:, None], *self.q_win_size)
         kg = grid_partition(window_reverse(kw), *self.feat_win_size)
         vg = grid_partition(window_reverse(vw), *self.feat_win_size)
         skip2 = (window_partition(x_skip, *self.q_win_size)

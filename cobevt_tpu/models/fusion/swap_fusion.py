@@ -24,7 +24,7 @@ import numpy as np
 from einops import rearrange
 
 from cobevt_tpu.nn.layers import gelu, layer_norm
-from cobevt_tpu.ops.window_attention import fused_window_attention
+from cobevt_tpu.ops.window_attention import fused_window_attention_packed
 
 NEG_INF = -1e9
 
@@ -74,13 +74,7 @@ class FusionAttention(nn.Module):
         qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype,
                        name="to_qkv")(t)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def split_heads(z):
-            return z.reshape(b, X * Y, T, heads, self.dim_head)
-
-        q = split_heads(q) * (self.dim_head ** -0.5)
-        k = split_heads(k)
-        v = split_heads(v)
+        q = q * (self.dim_head ** -0.5)
 
         idx = jnp.asarray(rel_pos_indices_3d(self.agent_size,
                                              self.window_size,
@@ -91,7 +85,8 @@ class FusionAttention(nn.Module):
                       (2 * self.window_size - 1))
         bias = nn.Embed(table_size, heads,
                         name="relative_position_bias_table")(idx)
-        bias = bias.transpose(2, 0, 1)                   # (heads, T, T)
+        # flat layout for the packed kernel: (T, heads*T)
+        bias_flat = bias.transpose(0, 2, 1).reshape(T, heads * T)
 
         key_mask = None
         if mask is not None:
@@ -99,14 +94,13 @@ class FusionAttention(nn.Module):
                 mask, "b x y w1 w2 l -> b (x y) (l w1 w2)")
 
         G = b * X * Y
-        fused = fused_window_attention(
-            q.reshape(G, T, heads, self.dim_head).transpose(0, 2, 1, 3),
-            k.reshape(G, T, heads, self.dim_head).transpose(0, 2, 1, 3),
-            v.reshape(G, T, heads, self.dim_head).transpose(0, 2, 1, 3),
-            bias=bias,
+        fused = fused_window_attention_packed(
+            q.reshape(G, T, heads * self.dim_head),
+            k.reshape(G, T, heads * self.dim_head),
+            v.reshape(G, T, heads * self.dim_head),
+            n_heads=heads, bias_flat=bias_flat,
             mask=None if key_mask is None else key_mask.reshape(G, T))
-        out = fused.transpose(0, 2, 1, 3).reshape(
-            b, X * Y, T, heads * self.dim_head)
+        out = fused.reshape(b, X * Y, T, heads * self.dim_head)
         out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                        name="to_out_0")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)

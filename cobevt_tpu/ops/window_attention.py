@@ -203,6 +203,265 @@ def _fused_bwd(use_pallas, interpret, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# packed variant: heads stay interleaved in the channel axis
+# ---------------------------------------------------------------------------
+#
+# The (G, H, T, D) interface forces every caller to transpose the natural
+# Dense output (..., T, H*D) into head-major layout, and pallas_call
+# operands must be materialized in their logical layout — so XLA emits
+# real HBM copies (~84MB per operand at CorpBEVT stage 0; profiled at
+# ~2.2ms/step).  The packed kernel takes (G, T, H*D) directly (a free
+# bitcast of the projection output) and writes (G, T, H*D) back — zero
+# layout traffic end to end.
+#
+# Inside the body, per-head D=32 dots would run the MXU at D/128
+# utilization, and slicing head lanes out of the packed block costs
+# relayouts.  Instead the kernel builds a BLOCK-DIAGONAL key/value
+# (H*Tk, C) in VMEM (tile + iota mask — pure VPU, no relayout) and runs
+# two full-width matmuls:
+#     sim  = q  (tq, C)      @ k_bd^T (C, H*Tk)     # col block h = head h
+#     out  = attn (tq, H*Tk) @ v_bd   (H*Tk, C)     # packed output
+# H x the nominal attention FLOPs at ~H x the MXU utilization — same
+# compute time as the ideal, with zero transposes anywhere.  Per-head
+# softmax normalization is done with tiny indicator matmuls instead of
+# VMEM reshapes (which would relayout).
+
+
+def _head_blockmask(n_heads, Tk, C, dtype):
+    """(H*Tk, C) 0/1: row r (head r//Tk) keeps channels of its head."""
+    D = C // n_heads
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (n_heads * Tk, C),
+                                        0) // Tk
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (n_heads * Tk, C),
+                                        1) // D
+    return (row_head == col_head).astype(dtype)
+
+
+def _head_indicator(n_heads, Tk, dtype):
+    """(H*Tk, 128) 0/1 column-block -> head indicator (lane-padded)."""
+    h_pad = 128
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_heads * Tk, h_pad), 1)
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (n_heads * Tk, h_pad),
+                                        0) // Tk
+    return (col == row_head).astype(dtype)
+
+
+def _head_expander(n_heads, C):
+    """(128, C) f32 0/1: row h -> channels of head h (s_h broadcast)."""
+    D = C // n_heads
+    row = jax.lax.broadcasted_iota(jnp.int32, (128, C), 0)
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (128, C), 1) // D
+    return (row == col_head).astype(jnp.float32)
+
+
+def _packed_body(q, k, v, bias, mask, n_heads, o_ref):
+    Tk, C = k.shape
+    HTk = n_heads * Tk
+    tiled_k = jnp.concatenate([k] * n_heads, axis=0)       # (H*Tk, C)
+    tiled_v = jnp.concatenate([v] * n_heads, axis=0)
+    bm = _head_blockmask(n_heads, Tk, C, tiled_k.dtype)
+    k_bd = tiled_k * bm
+    v_bd = tiled_v * bm
+
+    sim = jax.lax.dot_general(
+        q, k_bd, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (tq, H*Tk)
+    if bias is not None:
+        sim = sim + bias
+    if mask is not None:
+        # mask arrives as an (8, H*Tk) broadcast block; row 0 is live
+        sim = sim + jnp.where(mask[0][None, :] > 0, 0.0, NEG_INF)
+    m = jnp.max(sim, axis=-1, keepdims=True)               # global row max
+    # exp in f32, then round once to the value dtype: the SAME rounded
+    # weights feed both the AV numerator and the softmax denominator, so
+    # normalization is exactly consistent.  f32 matmuls here would run
+    # the MXU at 1/8 rate and dominate the kernel.
+    e = jnp.exp(sim - m).astype(v_bd.dtype)                # (tq, H*Tk)
+    if Tk % 128 == 0:
+        # lane-aligned per-head column blocks: VPU slice-sums
+        s_h = jnp.concatenate(
+            [jnp.sum(e[:, h * Tk:(h + 1) * Tk].astype(jnp.float32),
+                     axis=-1, keepdims=True) for h in range(n_heads)],
+            axis=-1)                                       # (tq, H)
+        s_h = jnp.pad(s_h, ((0, 0), (0, 128 - n_heads)),
+                      constant_values=1.0)
+    else:
+        ind = _head_indicator(n_heads, Tk, e.dtype)        # (H*Tk, 128)
+        s_h = jnp.dot(e, ind, preferred_element_type=jnp.float32)
+    out_un = jnp.dot(e, v_bd,
+                     preferred_element_type=jnp.float32)   # (tq, C)
+    norm = jnp.dot(s_h, _head_expander(n_heads, C),
+                   preferred_element_type=jnp.float32)     # (tq, C)
+    o_ref[0] = (out_un / norm).astype(o_ref.dtype)
+
+
+def _packed_kernel_plain(n_heads, q_ref, k_ref, v_ref, o_ref):
+    _packed_body(q_ref[0], k_ref[0], v_ref[0], None, None, n_heads, o_ref)
+
+
+def _packed_kernel_bias(n_heads, q_ref, k_ref, v_ref, b_ref, o_ref):
+    _packed_body(q_ref[0], k_ref[0], v_ref[0], b_ref[:], None, n_heads,
+                 o_ref)
+
+
+def _packed_kernel_mask(n_heads, q_ref, k_ref, v_ref, m_ref, o_ref):
+    _packed_body(q_ref[0], k_ref[0], v_ref[0], None, m_ref[0], n_heads,
+                 o_ref)
+
+
+def _packed_kernel_bias_mask(n_heads, q_ref, k_ref, v_ref, b_ref, m_ref,
+                             o_ref):
+    _packed_body(q_ref[0], k_ref[0], v_ref[0], b_ref[:], m_ref[0], n_heads,
+                 o_ref)
+
+
+def _packed_to_4d(t, n_heads):
+    G, T, C = t.shape
+    return t.reshape(G, T, n_heads, C // n_heads).transpose(0, 2, 1, 3)
+
+
+def _packed_from_4d(t):
+    G, H, T, D = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(G, T, H * D)
+
+
+def _flat_to_heads(bias_flat, n_heads):
+    """(Tq, H*Tk) flat bias -> (H, Tq, Tk)."""
+    Tq, HTk = bias_flat.shape
+    return bias_flat.reshape(Tq, n_heads, HTk // n_heads).transpose(1, 0, 2)
+
+
+def _packed_forward_core(q, k, v, bias_flat, mask, n_heads, use_pallas,
+                         interpret):
+    if not use_pallas or (jax.default_backend() != "tpu"
+                          and not interpret):
+        bias = (_flat_to_heads(bias_flat, n_heads)
+                if bias_flat is not None else None)
+        out = _xla_reference(_packed_to_4d(q, n_heads),
+                             _packed_to_4d(k, n_heads),
+                             _packed_to_4d(v, n_heads), bias, mask)
+        return _packed_from_4d(out)
+
+    G, Tq, C = q.shape
+    Tk = k.shape[1]
+    HTk = n_heads * Tk
+
+    budget = 4 * 1024 * 1024
+    tq_blk = 8
+    while tq_blk < 2048 and 2 * tq_blk * HTk * 4 <= budget and tq_blk < Tq:
+        tq_blk *= 2
+    Tq_pad = -(-Tq // tq_blk) * tq_blk
+    if Tq_pad != Tq:
+        q = jnp.pad(q, ((0, 0), (0, Tq_pad - Tq), (0, 0)))
+        if bias_flat is not None:
+            bias_flat = jnp.pad(bias_flat, ((0, Tq_pad - Tq), (0, 0)))
+    orig_tq, Tq = Tq, Tq_pad
+    n_q_blocks = Tq // tq_blk
+
+    in_specs = [
+        pl.BlockSpec((1, tq_blk, C), lambda g, t: (g, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Tk, C), lambda g, t: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Tk, C), lambda g, t: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+
+    def mask8(m):
+        # (G, Tk) -> (G, 8, H*Tk): head-tiled columns, broadcast sublanes
+        mf = jnp.tile(m.astype(jnp.float32), (1, n_heads))
+        return jnp.broadcast_to(mf[:, None, :], (G, 8, HTk))
+
+    if bias_flat is not None and mask is not None:
+        kernel = functools.partial(_packed_kernel_bias_mask, n_heads)
+        in_specs += [
+            pl.BlockSpec((tq_blk, HTk), lambda g, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, HTk), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM)]
+        args += [bias_flat.astype(jnp.float32), mask8(mask)]
+    elif bias_flat is not None:
+        kernel = functools.partial(_packed_kernel_bias, n_heads)
+        in_specs += [pl.BlockSpec((tq_blk, HTk), lambda g, t: (t, 0),
+                                  memory_space=pltpu.VMEM)]
+        args += [bias_flat.astype(jnp.float32)]
+    elif mask is not None:
+        kernel = functools.partial(_packed_kernel_mask, n_heads)
+        in_specs += [pl.BlockSpec((1, 8, HTk), lambda g, t: (g, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        args += [mask8(mask)]
+    else:
+        kernel = functools.partial(_packed_kernel_plain, n_heads)
+
+    flops = 2 * G * Tq * HTk * C * 2
+    out = pl.pallas_call(
+        kernel,
+        grid=(G, n_q_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tq_blk, C), lambda g, t: (g, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, Tq, C), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size) * 2 + q.size * 2,
+            transcendentals=G * Tq * HTk),
+        interpret=interpret,
+    )(*args)
+    return out[:, :orig_tq] if orig_tq != Tq else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_packed(q, k, v, bias_flat, mask, n_heads, use_pallas,
+                  interpret):
+    return _packed_forward_core(q, k, v, bias_flat, mask, n_heads,
+                                use_pallas, interpret)
+
+
+def _fused_packed_fwd(q, k, v, bias_flat, mask, n_heads, use_pallas,
+                      interpret):
+    out = _packed_forward_core(q, k, v, bias_flat, mask, n_heads,
+                               use_pallas, interpret)
+    return out, (q, k, v, bias_flat, mask)
+
+
+def _fused_packed_bwd(n_heads, use_pallas, interpret, res, g):
+    q, k, v, bias_flat, mask = res
+    bias = (_flat_to_heads(bias_flat, n_heads)
+            if bias_flat is not None else None)
+    q4, k4, v4 = (_packed_to_4d(t, n_heads) for t in (q, k, v))
+    g4 = _packed_to_4d(g, n_heads)
+    dq4, dk4, dv4, dbias, dmask = _fused_bwd(
+        use_pallas, interpret, (q4, k4, v4, bias, mask), g4)
+    dbias_flat = None
+    if dbias is not None:
+        H, Tq, Tk = dbias.shape
+        dbias_flat = dbias.transpose(1, 0, 2).reshape(
+            Tq, H * Tk).astype(bias_flat.dtype)
+    return (_packed_from_4d(dq4), _packed_from_4d(dk4),
+            _packed_from_4d(dv4), dbias_flat, dmask)
+
+
+_fused_packed.defvjp(_fused_packed_fwd, _fused_packed_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "use_pallas", "interpret"))
+def fused_window_attention_packed(q, k, v, n_heads: int, bias_flat=None,
+                                  mask=None, use_pallas: bool = True,
+                                  interpret: bool = False):
+    """Packed-layout fused attention: q (G, Tq, H*D) pre-scaled,
+    k/v (G, Tk, H*D) with heads interleaved in the channel axis (the
+    natural Dense-projection layout — no transposes are materialized);
+    bias_flat (Tq, H*Tk) with column block h holding head h's bias, or
+    None; mask (G, Tk) or None.
+    Returns (G, Tq, H*D) in q's dtype.  Differentiable (backward
+    recomputes attention in XLA)."""
+    return _fused_packed(q, k, v, bias_flat, mask, n_heads, use_pallas,
+                         interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"))
 def fused_window_attention(q, k, v, bias=None, mask=None,
                            use_pallas: bool = True,
