@@ -46,13 +46,14 @@ def normalize_image(x):
 class PyramidAxialConfig:
     """Mirrors nuscenes/config/model/cvt_pyramid_axial.yaml.
 
-    Geometry note: the upstream yaml ships feat_win_size
-    ((6,12),(6,12),(14,30)) which only satisfies the window-count
+    Geometry note: with the standard extract_endpoints semantics
+    (reduction_2/3/4 = 1/4, 1/8, 1/16 resolution) the published
+    feat_win_size ((6,12),(6,12),(14,30)) satisfies the window-count
     invariant (#query windows == #feature windows,
-    encoder_pyramid_axial.py:239) for 448x960 inputs; at the published
-    224x480 / BEV 200 settings it trips the reference's own assert.  Our
-    default keeps 224x480 and uses the scaled windows
-    ((3,6),(3,6),(7,15)), which satisfy the invariant at every stage.
+    encoder_pyramid_axial.py:239) exactly at 224x480 / BEV 200:
+    padded feature grids (60,120)/(6,12)=100, (30,60)/(6,12)=25,
+    (14,30)/(14,30)=1 windows match the 10x10 / 5x5 / 1x1 BEV query
+    windows per stage.
     """
 
     dim: Tuple[int, ...] = (32, 64, 128)
@@ -67,7 +68,8 @@ class PyramidAxialConfig:
     heads: Tuple[int, ...] = (1, 2, 4)
     dim_head: Tuple[int, ...] = (32, 32, 32)
     q_win_size: Tuple[Tuple[int, int], ...] = ((10, 10), (10, 10), (25, 25))
-    feat_win_size: Tuple[Tuple[int, int], ...] = ((3, 6), (3, 6), (7, 15))
+    feat_win_size: Tuple[Tuple[int, int], ...] = ((6, 12), (6, 12),
+                                                  (14, 30))
     bev_embedding_flag: Tuple[bool, ...] = (True, False, False)
     no_image_features: bool = False
     skip: bool = True

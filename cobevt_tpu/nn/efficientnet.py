@@ -3,10 +3,17 @@
 Capability parity with `EfficientNetExtractor`
 (reference nuscenes/cross_view_transformer/model/backbones/
 efficientnet.py:24): run the trunk up to the deepest requested
-"reduction" boundary and return the feature maps at each requested
-boundary, where ``reduction_k`` is the map right after the stride-2
-block that enters resolution 1/2^(k+1) (so ``reduction_2`` of b4 at
-224x480 is (28, 60, 56) — channels last here).
+"reduction" endpoint and return the feature maps at each requested
+endpoint.  ``reduction_k`` is the map at 1/2^k resolution — the standard
+extract_endpoints convention the reference code implements:
+``reduction_1`` is the stem output and ``reduction_{k+1}`` is the map
+right after the k-th stride-2 block.  (The reference file's docstring
+shows shifted shapes, but its runtime indexing — result[0] = stem,
+layer_to_idx['reduction_2'] = 1, efficientnet.py:49-92 — yields the
+standard endpoints; e.g. ``reduction_2`` of b4 at 224x480 is
+(56, 120, 32) channels-last here.  The published cvt_pyramid_axial.yaml
+feat_win_size ((6,12),(6,12),(14,30)) confirms it: those windows satisfy
+the encoder's window-count invariant exactly at these shapes.)
 
 Architecture follows the public EfficientNet recipe (MBConv with
 squeeze-excitation, swish, stochastic depth); flax module names mirror
@@ -39,14 +46,17 @@ _B0_STAGES = (
     (6, 192, 4, 2, 5),
     (6, 320, 1, 1, 3),
 )
-# width_mult, depth_mult, drop_connect_rate
+# width_mult, depth_mult (classifier dropout is irrelevant here)
 _SCALING = {
-    "efficientnet-b0": (1.0, 1.0, 0.2),
-    "efficientnet-b1": (1.0, 1.1, 0.2),
-    "efficientnet-b2": (1.1, 1.2, 0.3),
-    "efficientnet-b3": (1.2, 1.4, 0.3),
-    "efficientnet-b4": (1.4, 1.8, 0.4),
+    "efficientnet-b0": (1.0, 1.0),
+    "efficientnet-b1": (1.0, 1.1),
+    "efficientnet-b2": (1.1, 1.2),
+    "efficientnet-b3": (1.2, 1.4),
+    "efficientnet-b4": (1.4, 1.8),
 }
+# efficientnet_pytorch GlobalParams.drop_connect_rate — 0.2 for every
+# variant (per-block stochastic-depth rate is i * rate / num_blocks)
+_DROP_CONNECT = 0.2
 
 
 def round_filters(filters: int, width_mult: float, divisor: int = 8) -> int:
@@ -72,10 +82,9 @@ class BlockSpec:
 
 
 def block_specs(model_name: str) -> List[BlockSpec]:
-    w, d, drop = _SCALING[model_name]
+    w, d = _SCALING[model_name]
     specs: List[BlockSpec] = []
     in_ch = round_filters(32, w)
-    # per-block stochastic-depth rate is i * (drop / num_blocks)
     total = sum(round_repeats(r, d) for (_, _, r, _, _) in _B0_STAGES)
     i = 0
     for expand, ch, repeats, stride, kernel in _B0_STAGES:
@@ -83,20 +92,24 @@ def block_specs(model_name: str) -> List[BlockSpec]:
         for j in range(round_repeats(repeats, d)):
             specs.append(BlockSpec(
                 in_ch if j == 0 else out_ch, out_ch, expand,
-                stride if j == 0 else 1, kernel, i * drop / total))
+                stride if j == 0 else 1, kernel,
+                i * _DROP_CONNECT / total))
             i += 1
         in_ch = out_ch
     return specs
 
 
 def reduction_boundaries(model_name: str) -> List[Tuple[str, Tuple[int, int]]]:
-    """[(name, (first_block, last_block_exclusive))] where each group ends
-    right after a resolution change (matches the reference's precomputed
-    MODELS aliases for b0/b4)."""
+    """[(name, (first_block, last_block_exclusive))] endpoint groups in
+    the standard extract_endpoints convention: ``reduction_1`` is the stem
+    (empty block range) and ``reduction_{k+1}`` ends right after the k-th
+    stride-2 block.  The non-stem ranges equal the reference's precomputed
+    MODELS aliases for b0/b4 (reference efficientnet.py:8-21); the names
+    reflect the reference's runtime indexing (result[0] = stem)."""
     specs = block_specs(model_name)
-    out = []
+    out = [("reduction_1", (0, 0))]
     start = 0
-    k = 1
+    k = 2
     for b in (i for i, s in enumerate(specs) if s.stride == 2):
         out.append((f"reduction_{k}", (start, b + 1)))
         start = b + 1
@@ -167,6 +180,7 @@ class EfficientNetExtractor(nn.Module):
 
     @staticmethod
     def output_shapes(layer_names, image_hw, model_name="efficientnet-b4"):
+        w_mult, _ = _SCALING[model_name]
         specs = block_specs(model_name)
         bounds = dict(reduction_boundaries(model_name))
         H, W = image_hw
@@ -174,7 +188,8 @@ class EfficientNetExtractor(nn.Module):
         shapes = []
         for name in layer_names:
             _, end = bounds[name]
-            ch = specs[end - 1].out_ch
+            ch = (specs[end - 1].out_ch if end > 0
+                  else round_filters(32, w_mult))
             red = 2  # stem stride
             for s in specs[:end]:
                 red *= s.stride
@@ -185,7 +200,7 @@ class EfficientNetExtractor(nn.Module):
     def __call__(self, images, train: bool = False):
         """images: (N, H, W, 3) already normalized.  Returns list of
         (N, h_i, w_i, C_i), one per requested layer name."""
-        w_mult, _, _ = _SCALING[self.model_name]
+        w_mult, _ = _SCALING[self.model_name]
         specs = block_specs(self.model_name)
         bounds = reduction_boundaries(self.model_name)
         name_to_group = {n: gi for gi, (n, _) in enumerate(bounds)}
@@ -197,15 +212,15 @@ class EfficientNetExtractor(nn.Module):
         x = _bn("layers_0_1", self.dtype)(x, use_running_average=not train)
         x = nn.silu(x)
 
-        results = []
+        results = [x]                       # group 0 = stem = reduction_1
         Block = MBConvBlock
         if self.remat:
             Block = nn.remat(MBConvBlock, static_argnums=(2,))
-        for gi in range(idx_max + 1):
+        for gi in range(1, idx_max + 1):
             _, (lo, hi) = bounds[gi]
             for bi in range(lo, hi):
                 x = Block(specs[bi], dtype=self.dtype,
-                          name=f"layers_{gi + 1}_{bi - lo}")(x, train)
+                          name=f"layers_{gi}_{bi - lo}")(x, train)
             results.append(x)
 
         return [results[name_to_group[n]] for n in self.layer_names]

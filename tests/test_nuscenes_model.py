@@ -26,7 +26,7 @@ def small_cfg():
         backbone_layers=("reduction_2", "reduction_3", "reduction_4"),
         heads=(1, 2, 4), dim_head=(16, 16, 16),
         q_win_size=((5, 5), (5, 5), (5, 5)),
-        feat_win_size=((2, 4), (2, 4), (2, 4)),
+        feat_win_size=((4, 8), (4, 8), (4, 8)),
         bev_embedding_flag=(True, False, False),
         bev_height=40, bev_width=40, h_meters=100.0, w_meters=100.0,
         offset=0.0, upsample_scales=(2, 4, 8), remat_backbone=False)
@@ -50,17 +50,22 @@ def nusc_batch(B=2, n=2, h=64, w=128, seed=0):
 
 def test_efficientnet_b4_matches_reference_aliases():
     from cobevt_tpu.nn.efficientnet import reduction_boundaries
-    # reference MODELS dict (efficientnet.py:8-21) documents the split
-    assert reduction_boundaries("efficientnet-b0")[:4] == [
-        ("reduction_1", (0, 2)), ("reduction_2", (2, 4)),
-        ("reduction_3", (4, 6)), ("reduction_4", (6, 12))]
-    assert reduction_boundaries("efficientnet-b4")[:4] == [
-        ("reduction_1", (0, 3)), ("reduction_2", (3, 7)),
-        ("reduction_3", (7, 11)), ("reduction_4", (11, 23))]
-    # documented b4 output shapes at 224x480 (efficientnet.py:29-31)
+    # The block ranges must equal the reference MODELS dict
+    # (efficientnet.py:8-21); the names follow the reference's *runtime*
+    # indexing (result[0] = stem = reduction_1, efficientnet.py:62-92 —
+    # its docstring shows stale shifted shapes).
+    assert reduction_boundaries("efficientnet-b0")[:5] == [
+        ("reduction_1", (0, 0)), ("reduction_2", (0, 2)),
+        ("reduction_3", (2, 4)), ("reduction_4", (4, 6)),
+        ("reduction_5", (6, 12))]
+    assert reduction_boundaries("efficientnet-b4")[:5] == [
+        ("reduction_1", (0, 0)), ("reduction_2", (0, 3)),
+        ("reduction_3", (3, 7)), ("reduction_4", (7, 11)),
+        ("reduction_5", (11, 23))]
+    # standard endpoints: reduction_k at 1/2^k resolution
     shapes = EfficientNetExtractor.output_shapes(
-        ("reduction_2", "reduction_4"), (224, 480))
-    assert shapes == [(28, 60, 56), (7, 15, 272)]
+        ("reduction_1", "reduction_2", "reduction_4"), (224, 480))
+    assert shapes == [(112, 240, 48), (56, 120, 32), (14, 30, 112)]
 
 
 def test_cvt_forward_shapes_and_outputs():
