@@ -150,7 +150,10 @@ def corpbevt_config_from_hypes(hypes: dict) -> CorpBEVTConfig:
     cvs = fax_a["cross_view_swap"]
     sa = fax_a["self_attn"]
     enc = args["encoder"]
-    fusion = args["fax_fusion"]
+    # fax.yaml (the fusion-free SinBEVT config) has no fax_fusion/sttf/
+    # max_cav blocks; fall back to the corpbevt defaults there
+    fusion = args.get("fax_fusion", {})
+    sttf = args.get("sttf", {})
     dec = args["decoder"]
 
     fax = FAXConfig(
@@ -172,21 +175,130 @@ def corpbevt_config_from_hypes(hypes: dict) -> CorpBEVTConfig:
         self_attn_window=sa["window_size"])
 
     return CorpBEVTConfig(
-        max_cav=args["max_cav"], target=args["target"],
+        max_cav=args.get("max_cav", 1), target=args["target"],
         encoder_num_layers=enc["num_layers"],
         encoder_id_pick=tuple(enc["id_pick"]),
         image_height=enc["image_height"], image_width=enc["image_width"],
         fax=fax, compression=args.get("compression", 0),
-        sttf_resolution=args["sttf"]["resolution"],
-        sttf_downsample_rate=args["sttf"]["downsample_rate"],
-        use_roi_mask=args["sttf"]["use_roi_mask"],
-        fusion_mlp_dim=fusion["mlp_dim"],
-        fusion_window_size=fusion["window_size"],
-        fusion_dim_head=fusion["dim_head"],
-        fusion_dropout=fusion["drop_out"],
-        fusion_depth=fusion["depth"],
+        sttf_resolution=sttf.get("resolution", 0.390625),
+        sttf_downsample_rate=sttf.get("downsample_rate", 8),
+        use_roi_mask=sttf.get("use_roi_mask", True),
+        fusion_mlp_dim=fusion.get("mlp_dim", 256),
+        fusion_window_size=fusion.get("window_size", 8),
+        fusion_dim_head=fusion.get("dim_head", 32),
+        fusion_dropout=fusion.get("drop_out", 0.1),
+        fusion_depth=fusion.get("depth", 3),
         fusion_mask=fusion.get("mask", True),
         decoder_num_layer=dec["num_layer"],
         decoder_num_ch=tuple(dec["num_ch_dec"]),
         seg_head_dim=args["seg_head_dim"],
         output_class=args["output_class"])
+
+
+_CORE_METHOD_TO_FUSION = {
+    "cross_view_transformer": "none",
+    "cvt": "none",
+    "cross_view_transformer_att_fuse": "att",
+    "cvt_att_fuse": "att",
+    "cross_view_transformer_swap_fuse": "swap",
+    "cvt_swap_fuse": "swap",
+    "cross_view_transformer_fcooper": "max",
+    "cvt_fcooper": "max",
+    "cross_view_transformer_v2vnet": "v2vnet",
+    "cvt_v2vnet": "v2vnet",
+    "cross_view_transformer_disconet": "disconet",
+    "cvt_disconet": "disconet",
+}
+
+
+def camera_bev_config_from_hypes(hypes: dict):
+    """Map a cvt-variant hypes dict (reference
+    opv2v/opencood/hypes_yaml/opcamera/cvt*.yaml) onto CameraBEVConfig."""
+    from cobevt_tpu.models.camera_bev_models import CameraBEVConfig
+    from cobevt_tpu.models.cvt_dense import CVTModuleConfig
+
+    core = hypes["model"]["core_method"]
+    fusion = _CORE_METHOD_TO_FUSION[core]
+    args = hypes["model"]["args"]
+    enc = args["encoder"]
+    dec = args["decoder"]
+    cvm_a = args["cvm"]
+    bev = cvm_a["bev_embedding"]
+    cv = cvm_a["cross_view"]
+
+    cvm = CVTModuleConfig(
+        dim=cvm_a["dim"], middle=tuple(cvm_a["middle"]),
+        image_height=cv["image_height"], image_width=cv["image_width"],
+        heads=cv["heads"], dim_head=cv["dim_head"],
+        qkv_bias=cv["qkv_bias"],
+        no_image_features=cv.get("no_image_features", False),
+        skip=cv.get("skip", True),
+        sigma=bev["sigma"], bev_height=bev["bev_height"],
+        bev_width=bev["bev_width"], h_meters=bev["h_meters"],
+        w_meters=bev["w_meters"], offset=bev["offset"],
+        decoder_blocks=len(bev["decoder_blocks"]))
+
+    kw = dict(
+        max_cav=args.get("max_cav", 1), target=args["target"],
+        encoder_num_layers=enc["num_layers"],
+        encoder_id_pick=tuple(enc["id_pick"]),
+        image_height=enc["image_height"], image_width=enc["image_width"],
+        cvm=cvm, fusion=fusion,
+        decoder_num_layer=dec["num_layer"],
+        decoder_num_ch=tuple(dec["num_ch_dec"]),
+        seg_head_dim=args["seg_head_dim"],
+        output_class=args["output_class"])
+
+    if "sttf" in args:
+        kw.update(sttf_resolution=args["sttf"]["resolution"],
+                  sttf_downsample_rate=args["sttf"]["downsample_rate"],
+                  use_roi_mask=args["sttf"].get("use_roi_mask", True))
+    if fusion == "att":
+        bt = args["base_transformer"]
+        kw.update(att_depth=bt["depth"], att_heads=bt["heads"],
+                  att_dim_head=bt["dim_head"], att_mlp_dim=bt["mlp_dim"],
+                  att_dropout=bt["dropout"])
+    elif fusion == "swap":
+        sf = args["swap_fusion"]
+        kw.update(swap_mlp_dim=sf["mlp_dim"],
+                  swap_window_size=sf["window_size"],
+                  swap_dim_head=sf["dim_head"],
+                  swap_dropout=sf["drop_out"], swap_depth=sf["depth"],
+                  swap_mask=sf.get("mask", True))
+    elif fusion in ("v2vnet", "disconet"):
+        gf = args.get("v2vnet_fusion") or args["disconet_fusion"]
+        kw.update(graph_num_iteration=gf["num_iteration"],
+                  graph_gru_flag=gf.get("gru_flag", True),
+                  graph_agg_operator=gf.get("agg_operator", "avg"))
+    return CameraBEVConfig(**kw)
+
+
+def model_config_from_hypes(hypes: dict):
+    """(registry_key, typed config) for any opcamera hypes dict —
+    completes the reference `create_model` dispatch
+    (opv2v/opencood/tools/train_utils.py:102-135) over all 8 graphs."""
+    core = hypes["model"]["core_method"]
+    if core in ("corpbevt",):
+        return "corpbevt", corpbevt_config_from_hypes(hypes)
+    if core in ("fax_fused_transformer", "fax"):
+        return "fax", corpbevt_config_from_hypes(hypes)
+    if core in _CORE_METHOD_TO_FUSION:
+        alias = {"none": "cvt", "att": "cvt_att_fuse",
+                 "swap": "cvt_swap_fuse", "max": "cvt_fcooper",
+                 "v2vnet": "cvt_v2vnet", "disconet": "cvt_disconet"}
+        return (alias[_CORE_METHOD_TO_FUSION[core]],
+                camera_bev_config_from_hypes(hypes))
+    raise KeyError(f"unknown model core_method {core!r}")
+
+
+def build_from_hypes(hypes: dict, dtype=None):
+    """Hypes dict -> ready flax module (any of the 8 camera graphs)."""
+    from cobevt_tpu.models.camera_bev_models import CameraBEVModel
+    from cobevt_tpu.models.corpbevt import CorpBEVT, SinBEVT
+
+    key, cfg = model_config_from_hypes(hypes)
+    if key == "corpbevt":
+        return CorpBEVT(cfg, dtype=dtype)
+    if key == "fax":
+        return SinBEVT(cfg, dtype=dtype)
+    return CameraBEVModel(cfg, dtype=dtype)

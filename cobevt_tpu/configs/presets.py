@@ -48,3 +48,67 @@ def corpbevt_static(max_cav: int = 5) -> CorpBEVTConfig:
 def sinbevt_opv2v() -> CorpBEVTConfig:
     """fax.yaml — single-agent SinBEVT on the OPV2V camera rig."""
     return dataclasses.replace(corpbevt_default(max_cav=1))
+
+
+# ---------------------------------------------------------------------------
+# CVT-variant presets (the 6 cross_view_transformer* graphs)
+# ---------------------------------------------------------------------------
+
+def _camera_bev(fusion: str, static: bool = False, **overrides):
+    from cobevt_tpu.models.camera_bev_models import CameraBEVConfig
+
+    base = dict(
+        max_cav=5 if fusion != "none" else 1,
+        target="static" if static else "dynamic",
+        encoder_num_layers=34, encoder_id_pick=(1, 3),
+        image_height=512, image_width=512,
+        fusion=fusion,
+        sttf_resolution=0.390625, sttf_downsample_rate=8,
+        use_roi_mask=True,
+        # base_transformer block, cvt_att_fuse.yaml:71-77
+        att_depth=2, att_heads=8, att_dim_head=32, att_mlp_dim=256,
+        att_dropout=0.1,
+        # swap_fusion block, cvt_swap_fuse.yaml:66-74
+        swap_mlp_dim=256, swap_window_size=8, swap_dim_head=32,
+        swap_dropout=0.1, swap_depth=3, swap_mask=True,
+        # v2vnet/disconet blocks, cvt_v2vnet.yaml:66-77
+        graph_num_iteration=3, graph_gru_flag=True,
+        graph_agg_operator="avg",
+        decoder_num_layer=3, decoder_num_ch=(32, 64, 128),
+        seg_head_dim=32, output_class=3 if static else 2)
+    base.update(overrides)
+    return CameraBEVConfig(**base)
+
+
+_CVT_FUSIONS = {
+    "cvt": "none",
+    "cvt_att_fuse": "att",
+    "cvt_swap_fuse": "swap",
+    "cvt_fcooper": "max",
+    "cvt_v2vnet": "v2vnet",
+    "cvt_disconet": "disconet",
+}
+
+
+def camera_bev_preset(name: str, **overrides):
+    """Typed preset for any opcamera config name (reference
+    hypes_yaml/opcamera/*.yaml): cvt / cvt_att_fuse / cvt_swap_fuse /
+    cvt_fcooper / cvt_v2vnet / cvt_disconet, each with a `_static`
+    variant."""
+    static = name.endswith("_static")
+    key = name[:-7] if static else name
+    return _camera_bev(_CVT_FUSIONS[key], static=static, **overrides)
+
+
+def all_opcamera_presets():
+    """name -> zero-arg builder for every opcamera config (15 total)."""
+    out = {
+        "corpbevt": corpbevt_default,
+        "corpbevt_static": corpbevt_static,
+        "fax": sinbevt_opv2v,
+    }
+    for name in _CVT_FUSIONS:
+        for suffix in ("", "_static"):
+            full = name + suffix
+            out[full] = (lambda n: lambda: camera_bev_preset(n))(full)
+    return out

@@ -32,14 +32,18 @@ def parse_args():
 
 
 def build_from_hypes(hypes, half=False):
+    """Model + criterion from hypes — dispatches over ALL 8 camera graphs
+    (reference train_utils.create_model, train_utils.py:102-135)."""
     import jax.numpy as jnp
 
-    from cobevt_tpu.configs.hypes import corpbevt_config_from_hypes
+    from cobevt_tpu.configs.hypes import (
+        build_from_hypes as build_model,
+        model_config_from_hypes,
+    )
     from cobevt_tpu.losses import VanillaSegLoss
-    from cobevt_tpu.models.corpbevt import CorpBEVT
 
-    cfg = corpbevt_config_from_hypes(hypes)
-    model = CorpBEVT(cfg, dtype=jnp.bfloat16 if half else None)
+    _, cfg = model_config_from_hypes(hypes)
+    model = build_model(hypes, dtype=jnp.bfloat16 if half else None)
 
     loss_args = hypes["loss"]["args"]
     seg_loss = VanillaSegLoss(
@@ -60,7 +64,6 @@ def main():
     from cobevt_tpu.configs.hypes import load_hypes, save_config_snapshot
     from cobevt_tpu.data.loader import DataLoader
     from cobevt_tpu.data.opv2v import (
-        OPV2VCameraDataset,
         OPV2VScenarioDatabase,
         WildConfig,
     )
@@ -81,17 +84,20 @@ def main():
     img_hw = (hypes["preprocess"]["args"]["resize_y"],
               hypes["preprocess"]["args"]["resize_x"])
 
+    from cobevt_tpu.data import DATASET_REGISTRY
+
+    ds_cls = DATASET_REGISTRY[hypes["fusion"]["core_method"]]
     train_db = OPV2VScenarioDatabase(hypes["root_dir"],
                                      max_cav=tp["max_cav"],
                                      shuffle_cavs=True)
     val_db = OPV2VScenarioDatabase(hypes["validate_dir"],
                                    max_cav=tp["max_cav"])
-    train_ds = OPV2VCameraDataset(train_db, image_hw=img_hw,
-                                  visible=tp.get("visible", True),
-                                  wild=wild, train=True)
-    val_ds = OPV2VCameraDataset(val_db, image_hw=img_hw,
-                                visible=tp.get("visible", True),
-                                train=False)
+    train_ds = ds_cls(train_db, image_hw=img_hw,
+                      visible=tp.get("visible", True),
+                      wild=wild, train=True)
+    val_ds = ds_cls(val_db, image_hw=img_hw,
+                    visible=tp.get("visible", True),
+                    train=False)
 
     # per-host sharding (multi-host: one process per host a la
     # jax.distributed.initialize; replaces DistributedSampler)
