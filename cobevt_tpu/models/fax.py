@@ -201,26 +201,19 @@ class SelfAttention(nn.Module):
         bias5 = jnp.einsum("deh,ikd,jle->ijhkl", t4, oh, oh)
         bias_flat = bias5.reshape(w * w, heads * w * w)
 
+        # attention-weight dropout rides the fused kernel as post-softmax
+        # multiplicative weights (torch Softmax->Dropout,
+        # fax_modules.py:109-112); the same saved weights feed the XLA
+        # backward so fwd/bwd are consistent
+        drop_w = None
         if train and self.dropout > 0:
-            # attention-dropout path stays on the unfused implementation
-            def split_heads(t):
-                return t.reshape(B, H * W, heads, self.dim_head)
-
-            bias = bias5.transpose(2, 0, 1, 3, 4).reshape(
-                heads, w * w, w * w)
-            sim = jnp.einsum("bihd,bjhd->bhij", split_heads(q),
-                             split_heads(k),
-                             preferred_element_type=jnp.float32)
-            sim = sim + bias[None]
-            attn = jax.nn.softmax(sim, axis=-1)
-            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-            out = jnp.einsum("bhij,bjhd->bihd", attn,
-                             split_heads(v).astype(sim.dtype))
-            out = out.reshape(B, H, W, heads * self.dim_head)
-        else:
-            fused = fused_window_attention_packed(
-                q, k, v, n_heads=heads, bias_flat=bias_flat)
-            out = fused.reshape(B, H, W, heads * self.dim_head)
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(
+                rng, 1.0 - self.dropout, (B, H * W, heads * H * W))
+            drop_w = keep.astype(jnp.bfloat16) / (1.0 - self.dropout)
+        fused = fused_window_attention_packed(
+            q, k, v, n_heads=heads, bias_flat=bias_flat, weight=drop_w)
+        out = fused.reshape(B, H, W, heads * self.dim_head)
         out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                        name="to_out_0")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -255,7 +255,7 @@ def _head_expander(n_heads, C):
     return (row == col_head).astype(jnp.float32)
 
 
-def _packed_body(q, k, v, bias, mask, n_heads, o_ref):
+def _packed_body(q, k, v, bias, mask, weight, n_heads, o_ref):
     Tk, C = k.shape
     HTk = n_heads * Tk
     tiled_k = jnp.concatenate([k] * n_heads, axis=0)       # (H*Tk, C)
@@ -289,6 +289,12 @@ def _packed_body(q, k, v, bias, mask, n_heads, o_ref):
     else:
         ind = _head_indicator(n_heads, Tk, e.dtype)        # (H*Tk, 128)
         s_h = jnp.dot(e, ind, preferred_element_type=jnp.float32)
+    if weight is not None:
+        # post-softmax multiplicative weights (attention dropout):
+        # applied to the numerator only — torch drops AFTER the softmax
+        # normalization (fax_modules.py:109-112), so the denominator
+        # stays the undropped sum
+        e = e * weight.astype(e.dtype)
     out_un = jnp.dot(e, v_bd,
                      preferred_element_type=jnp.float32)   # (tq, C)
     norm = jnp.dot(s_h, _head_expander(n_heads, C),
@@ -297,23 +303,35 @@ def _packed_body(q, k, v, bias, mask, n_heads, o_ref):
 
 
 def _packed_kernel_plain(n_heads, q_ref, k_ref, v_ref, o_ref):
-    _packed_body(q_ref[0], k_ref[0], v_ref[0], None, None, n_heads, o_ref)
+    _packed_body(q_ref[0], k_ref[0], v_ref[0], None, None, None, n_heads,
+                 o_ref)
 
 
 def _packed_kernel_bias(n_heads, q_ref, k_ref, v_ref, b_ref, o_ref):
-    _packed_body(q_ref[0], k_ref[0], v_ref[0], b_ref[:], None, n_heads,
-                 o_ref)
+    _packed_body(q_ref[0], k_ref[0], v_ref[0], b_ref[:], None, None,
+                 n_heads, o_ref)
 
 
 def _packed_kernel_mask(n_heads, q_ref, k_ref, v_ref, m_ref, o_ref):
-    _packed_body(q_ref[0], k_ref[0], v_ref[0], None, m_ref[0], n_heads,
-                 o_ref)
+    _packed_body(q_ref[0], k_ref[0], v_ref[0], None, m_ref[0], None,
+                 n_heads, o_ref)
 
 
 def _packed_kernel_bias_mask(n_heads, q_ref, k_ref, v_ref, b_ref, m_ref,
                              o_ref):
-    _packed_body(q_ref[0], k_ref[0], v_ref[0], b_ref[:], m_ref[0], n_heads,
-                 o_ref)
+    _packed_body(q_ref[0], k_ref[0], v_ref[0], b_ref[:], m_ref[0], None,
+                 n_heads, o_ref)
+
+
+def _packed_kernel_bias_weight(n_heads, q_ref, k_ref, v_ref, b_ref, w_ref,
+                               o_ref):
+    _packed_body(q_ref[0], k_ref[0], v_ref[0], b_ref[:], None, w_ref[0],
+                 n_heads, o_ref)
+
+
+def _packed_kernel_weight(n_heads, q_ref, k_ref, v_ref, w_ref, o_ref):
+    _packed_body(q_ref[0], k_ref[0], v_ref[0], None, None, w_ref[0],
+                 n_heads, o_ref)
 
 
 def _packed_to_4d(t, n_heads):
@@ -332,30 +350,63 @@ def _flat_to_heads(bias_flat, n_heads):
     return bias_flat.reshape(Tq, n_heads, HTk // n_heads).transpose(1, 0, 2)
 
 
-def _packed_forward_core(q, k, v, bias_flat, mask, n_heads, use_pallas,
-                         interpret):
+def _weight_to_4d(weight, n_heads):
+    """(G, Tq, H*Tk) flat post-softmax weights -> (G, H, Tq, Tk)."""
+    G, Tq, HTk = weight.shape
+    return weight.reshape(G, Tq, n_heads,
+                          HTk // n_heads).transpose(0, 2, 1, 3)
+
+
+def _xla_packed_reference(q4, k4, v4, bias, mask, w4):
+    sim = jnp.einsum("ghqd,ghkd->ghqk", q4, k4,
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        sim = sim + bias[None]
+    if mask is not None:
+        sim = sim + jnp.where(mask[:, None, None, :] > 0, 0.0, NEG_INF)
+    attn = jax.nn.softmax(sim, axis=-1)
+    if w4 is not None:
+        attn = attn * w4.astype(attn.dtype)
+    return jnp.einsum("ghqk,ghkd->ghqd", attn,
+                      v4.astype(sim.dtype)).astype(q4.dtype)
+
+
+def _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
+                         use_pallas, interpret):
     if not use_pallas or (jax.default_backend() != "tpu"
                           and not interpret):
         bias = (_flat_to_heads(bias_flat, n_heads)
                 if bias_flat is not None else None)
-        out = _xla_reference(_packed_to_4d(q, n_heads),
-                             _packed_to_4d(k, n_heads),
-                             _packed_to_4d(v, n_heads), bias, mask)
+        w4 = (_weight_to_4d(weight, n_heads)
+              if weight is not None else None)
+        out = _xla_packed_reference(_packed_to_4d(q, n_heads),
+                                    _packed_to_4d(k, n_heads),
+                                    _packed_to_4d(v, n_heads), bias,
+                                    mask, w4)
         return _packed_from_4d(out)
 
     G, Tq, C = q.shape
     Tk = k.shape[1]
     HTk = n_heads * Tk
 
-    budget = 4 * 1024 * 1024
+    # VMEM budget per query block: sim f32 + e (+ double-buffered bias
+    # f32 / weight blocks when present); Mosaic's scoped vmem limit is
+    # 16MB, leave headroom for k/v/tiled block-diag buffers
+    budget = 8 * 1024 * 1024
+    per_row = HTk * (4 + 2
+                     + (8 if bias_flat is not None else 0)
+                     + (2 * 2 if weight is not None else 0))
     tq_blk = 8
-    while tq_blk < 2048 and 2 * tq_blk * HTk * 4 <= budget and tq_blk < Tq:
+    while tq_blk < 2048 and 2 * tq_blk * per_row <= budget and \
+            tq_blk < Tq:
         tq_blk *= 2
     Tq_pad = -(-Tq // tq_blk) * tq_blk
     if Tq_pad != Tq:
         q = jnp.pad(q, ((0, 0), (0, Tq_pad - Tq), (0, 0)))
         if bias_flat is not None:
             bias_flat = jnp.pad(bias_flat, ((0, Tq_pad - Tq), (0, 0)))
+        if weight is not None:
+            weight = jnp.pad(weight, ((0, 0), (0, Tq_pad - Tq), (0, 0)))
     orig_tq, Tq = Tq, Tq_pad
     n_q_blocks = Tq // tq_blk
 
@@ -374,6 +425,10 @@ def _packed_forward_core(q, k, v, bias_flat, mask, n_heads, use_pallas,
         mf = jnp.tile(m.astype(jnp.float32), (1, n_heads))
         return jnp.broadcast_to(mf[:, None, :], (G, 8, HTk))
 
+    assert weight is None or mask is None, \
+        "weight+mask combination not implemented"
+    weight_spec = pl.BlockSpec((1, tq_blk, HTk), lambda g, t: (g, t, 0),
+                               memory_space=pltpu.VMEM)
     if bias_flat is not None and mask is not None:
         kernel = functools.partial(_packed_kernel_bias_mask, n_heads)
         in_specs += [
@@ -382,6 +437,15 @@ def _packed_forward_core(q, k, v, bias_flat, mask, n_heads, use_pallas,
             pl.BlockSpec((1, 8, HTk), lambda g, t: (g, 0, 0),
                          memory_space=pltpu.VMEM)]
         args += [bias_flat.astype(jnp.float32), mask8(mask)]
+    elif bias_flat is not None and weight is not None:
+        kernel = functools.partial(_packed_kernel_bias_weight, n_heads)
+        in_specs += [pl.BlockSpec((tq_blk, HTk), lambda g, t: (t, 0),
+                                  memory_space=pltpu.VMEM), weight_spec]
+        args += [bias_flat.astype(jnp.float32), weight]
+    elif weight is not None:
+        kernel = functools.partial(_packed_kernel_weight, n_heads)
+        in_specs += [weight_spec]
+        args += [weight]
     elif bias_flat is not None:
         kernel = functools.partial(_packed_kernel_bias, n_heads)
         in_specs += [pl.BlockSpec((tq_blk, HTk), lambda g, t: (t, 0),
@@ -412,35 +476,61 @@ def _packed_forward_core(q, k, v, bias_flat, mask, n_heads, use_pallas,
     return out[:, :orig_tq] if orig_tq != Tq else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _fused_packed(q, k, v, bias_flat, mask, n_heads, use_pallas,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _fused_packed(q, k, v, bias_flat, mask, weight, n_heads, use_pallas,
                   interpret):
-    return _packed_forward_core(q, k, v, bias_flat, mask, n_heads,
+    return _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
                                 use_pallas, interpret)
 
 
-def _fused_packed_fwd(q, k, v, bias_flat, mask, n_heads, use_pallas,
-                      interpret):
-    out = _packed_forward_core(q, k, v, bias_flat, mask, n_heads,
+def _fused_packed_fwd(q, k, v, bias_flat, mask, weight, n_heads,
+                      use_pallas, interpret):
+    out = _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
                                use_pallas, interpret)
-    return out, (q, k, v, bias_flat, mask)
+    return out, (q, k, v, bias_flat, mask, weight)
 
 
 def _fused_packed_bwd(n_heads, use_pallas, interpret, res, g):
-    q, k, v, bias_flat, mask = res
+    q, k, v, bias_flat, mask, weight = res
     bias = (_flat_to_heads(bias_flat, n_heads)
             if bias_flat is not None else None)
+    w4 = _weight_to_4d(weight, n_heads) if weight is not None else None
     q4, k4, v4 = (_packed_to_4d(t, n_heads) for t in (q, k, v))
-    g4 = _packed_to_4d(g, n_heads)
-    dq4, dk4, dv4, dbias, dmask = _fused_bwd(
-        use_pallas, interpret, (q4, k4, v4, bias, mask), g4)
+    g4 = _packed_to_4d(g, n_heads).astype(jnp.float32)
+
+    sim = jnp.einsum("ghqd,ghkd->ghqk", q4, k4,
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        sim = sim + bias[None].astype(sim.dtype)
+    if mask is not None:
+        sim = sim + jnp.where(mask[:, None, None, :] > 0, 0.0,
+                              NEG_INF).astype(sim.dtype)
+    p = jax.nn.softmax(sim, axis=-1)
+    a = p * w4.astype(p.dtype) if w4 is not None else p
+    v32 = v4.astype(jnp.float32)
+    dv4 = jnp.einsum("ghqk,ghqd->ghkd", a, g4)
+    da = jnp.einsum("ghqd,ghkd->ghqk", g4, v32)
+    dweight = None
+    if w4 is not None:
+        dw4 = (p * da).astype(weight.dtype)
+        dweight = dw4.transpose(0, 2, 1, 3).reshape(weight.shape)
+        ds = da * w4.astype(da.dtype)
+    else:
+        ds = da
+    dsim = p * (ds - jnp.sum(ds * p, axis=-1, keepdims=True))
+    dq4 = jnp.einsum("ghqk,ghkd->ghqd", dsim, k4.astype(jnp.float32))
+    dk4 = jnp.einsum("ghqk,ghqd->ghkd", dsim, q4.astype(jnp.float32))
     dbias_flat = None
-    if dbias is not None:
-        H, Tq, Tk = dbias.shape
-        dbias_flat = dbias.transpose(1, 0, 2).reshape(
+    if bias_flat is not None:
+        db = dsim.sum(axis=0)
+        H, Tq, Tk = db.shape
+        dbias_flat = db.transpose(1, 0, 2).reshape(
             Tq, H * Tk).astype(bias_flat.dtype)
-    return (_packed_from_4d(dq4), _packed_from_4d(dk4),
-            _packed_from_4d(dv4), dbias_flat, dmask)
+    dmask = jnp.zeros_like(mask) if mask is not None else None
+    return (_packed_from_4d(dq4).astype(q.dtype),
+            _packed_from_4d(dk4).astype(k.dtype),
+            _packed_from_4d(dv4).astype(v.dtype),
+            dbias_flat, dmask, dweight)
 
 
 _fused_packed.defvjp(_fused_packed_fwd, _fused_packed_bwd)
@@ -449,17 +539,22 @@ _fused_packed.defvjp(_fused_packed_fwd, _fused_packed_bwd)
 @functools.partial(jax.jit,
                    static_argnames=("n_heads", "use_pallas", "interpret"))
 def fused_window_attention_packed(q, k, v, n_heads: int, bias_flat=None,
-                                  mask=None, use_pallas: bool = True,
+                                  mask=None, weight=None,
+                                  use_pallas: bool = True,
                                   interpret: bool = False):
     """Packed-layout fused attention: q (G, Tq, H*D) pre-scaled,
     k/v (G, Tk, H*D) with heads interleaved in the channel axis (the
     natural Dense-projection layout — no transposes are materialized);
     bias_flat (Tq, H*Tk) with column block h holding head h's bias, or
-    None; mask (G, Tk) or None.
+    None; mask (G, Tk) or None; weight (G, Tq, H*Tk) post-softmax
+    multiplicative weights (attention dropout: pass keep_mask/(1-p); the
+    softmax denominator stays undropped, matching torch
+    Dropout-after-Softmax semantics) or None.
     Returns (G, Tq, H*D) in q's dtype.  Differentiable (backward
-    recomputes attention in XLA)."""
-    return _fused_packed(q, k, v, bias_flat, mask, n_heads, use_pallas,
-                         interpret)
+    recomputes attention in XLA; the saved weight is reused so dropout
+    is consistent across fwd/bwd)."""
+    return _fused_packed(q, k, v, bias_flat, mask, weight, n_heads,
+                         use_pallas, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"))
