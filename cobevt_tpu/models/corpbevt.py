@@ -82,29 +82,53 @@ class CorpBEVT(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, batch, train: bool = False):
+    def __call__(self, batch, train: bool = False, stage: str = "full",
+                 agent_bev=None):
         """batch: dict with
              inputs: (B, L, M, H, W, 3) float images (padded to max_cav)
              intrinsic: (B, L, M, 3, 3)
              extrinsic: (B, L, M, 4, 4)
              transformation_matrix: (B, L, 4, 4) agent->ego SE(3)
              agent_mask: (B, L) 1.0 for live agents
-        Returns dict of (B, 1, H, W, classes) seg logits."""
+        Returns dict of (B, 1, H, W, classes) seg logits.
+
+        ``stage`` splits the graph at the per-agent/cooperative boundary
+        for exact agent-count bucketing at serving time
+        (cobevt_tpu/utils/serving.py):
+          "full"   — the whole graph (default);
+          "encode" — per-agent encoder -> FAX -> compressor only; returns
+                     the (B, L, H, W, C) agent BEV maps;
+          "fuse"   — warp -> mask -> fusion -> decoder -> head, consuming
+                     ``agent_bev`` padded back to max_cav.  Padded rows
+                     are zero before the warp, exactly as in a full
+                     padded run, so the fusion input is bit-identical.
+        """
         cfg = self.config
-        x = batch["inputs"]
-        B, L, M = x.shape[:3]
+        if stage in ("full", "encode"):
+            x = batch["inputs"]
+            B, L, M = x.shape[:3]
 
-        feats = ResNetEncoder(cfg.encoder_num_layers, cfg.encoder_id_pick,
-                              dtype=self.dtype, name="encoder")(x, train)
-        x = FAXModule(cfg.resolved_fax(), dtype=self.dtype, name="fax")(
-            feats, batch["intrinsic"], batch["extrinsic"], train)
-        # (B, L, H, W, C)
+            feats = ResNetEncoder(cfg.encoder_num_layers,
+                                  cfg.encoder_id_pick,
+                                  dtype=self.dtype, name="encoder")(
+                x, train)
+            x = FAXModule(cfg.resolved_fax(), dtype=self.dtype,
+                          name="fax")(
+                feats, batch["intrinsic"], batch["extrinsic"], train)
+            # (B, L, H, W, C)
 
-        if cfg.compression > 0:
-            Bc, Lc, H, W, C = x.shape
-            x = NaiveCompressor(C, cfg.compression, dtype=self.dtype,
-                                name="naive_compressor")(
-                x.reshape(Bc * Lc, H, W, C), train).reshape(Bc, Lc, H, W, C)
+            if cfg.compression > 0:
+                Bc, Lc, H, W, C = x.shape
+                x = NaiveCompressor(C, cfg.compression, dtype=self.dtype,
+                                    name="naive_compressor")(
+                    x.reshape(Bc * Lc, H, W, C),
+                    train).reshape(Bc, Lc, H, W, C)
+            if stage == "encode":
+                return x
+        else:
+            assert stage == "fuse" and agent_bev is not None
+            x = agent_bev
+            B, L = x.shape[:2]
 
         tmat = batch["transformation_matrix"]
         agent_mask = batch["agent_mask"]

@@ -33,3 +33,37 @@ def test_bucketed_matches_padded():
     np.testing.assert_allclose(
         np.asarray(bucketed_out["dynamic_seg"]),
         np.asarray(padded_out["dynamic_seg"]), atol=2e-4, rtol=1e-3)
+
+
+def test_staged_bucketing_exact_for_reference_default():
+    """Default fusion semantics (mean over max_cav, reference
+    swap_fusion_modules.py:275-281): staged bucketing must match the
+    padded forward exactly — plain slicing must NOT (that mismatch is
+    what makes this test meaningful)."""
+    from cobevt_tpu.utils.serving import StagedBucketedRunner
+
+    cfg = tiny_config(max_cav=3)   # fusion_mean_over_valid defaults False
+    assert not cfg.fusion_mean_over_valid
+    model = CorpBEVT(cfg)
+    batch = tiny_batch(B=1, L=3)
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+
+    batch_2live = dict(batch)
+    mask = np.zeros((1, 3), np.float32)
+    mask[0, :2] = 1
+    batch_2live["agent_mask"] = jnp.asarray(mask)
+
+    padded_out = model.apply(variables, batch_2live, False)
+
+    staged = StagedBucketedRunner(model, variables, max_cav=3)
+    staged_out = staged(batch_2live)
+    np.testing.assert_allclose(
+        np.asarray(staged_out["dynamic_seg"]),
+        np.asarray(padded_out["dynamic_seg"]), atol=2e-4, rtol=1e-3)
+
+    # plain whole-graph slicing is approximate in this mode — assert the
+    # discrepancy actually exists, so the staged runner is load-bearing
+    plain = BucketedRunner(model, variables)
+    plain_out = plain(batch_2live)
+    assert np.abs(np.asarray(plain_out["dynamic_seg"]) -
+                  np.asarray(padded_out["dynamic_seg"])).max() > 1e-3
