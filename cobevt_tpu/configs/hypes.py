@@ -116,6 +116,26 @@ def load_voxel_params(param: dict) -> dict:
     return param
 
 
+@register_parser("load_second_params")
+def load_second_params(param: dict) -> dict:
+    """Derived SECOND geometry: voxel grid size into model args, anchor
+    grid into postprocess (reference yaml_utils.py:128-168)."""
+    lr = param["preprocess"]["cav_lidar_range"]
+    voxel_size = param["preprocess"]["args"]["voxel_size"]
+    grid = np.round((np.array(lr[3:6]) - np.array(lr[0:3])) /
+                    np.array(voxel_size)).astype(np.int64)
+    param["model"]["args"]["grid_size"] = grid.tolist()
+
+    vw, vh, vd = voxel_size
+    anchor_args = param["postprocess"]["anchor_args"]
+    anchor_args.update({
+        "vw": vw, "vh": vh, "vd": vd,
+        "W": math.ceil((lr[3] - lr[0]) / vw),
+        "H": math.ceil((lr[4] - lr[1]) / vh),
+        "D": math.ceil((lr[5] - lr[2]) / vd)})
+    return param
+
+
 @register_parser("load_point_pillar_params")
 def load_point_pillar_params(param: dict) -> dict:
     lr = param["preprocess"]["cav_lidar_range"]

@@ -1,0 +1,121 @@
+"""Config-driven SECOND pipeline (VERDICT r1 item 8): a hypes yaml with
+`yaml_parser: load_second_params` loads, derives the voxel geometry
+(reference yaml_utils.py:128-168 semantics), builds the
+MeanVFE -> VoxelBackbone8x -> HeightCompression -> BEV backbone detector,
+and runs one train step."""
+
+import os
+
+import numpy as np
+import yaml
+import jax
+import jax.numpy as jnp
+
+from cobevt_tpu.configs.hypes import load_hypes
+from cobevt_tpu.losses.detection_loss import PointPillarLoss
+from cobevt_tpu.models.lidar.second_models import (
+    SecondDetector,
+    second_config_from_hypes,
+)
+
+TINY_SECOND_HYPES = {
+    "name": "tiny_second",
+    "yaml_parser": "load_second_params",
+    "train_params": {"batch_size": 1, "epoches": 1, "max_cav": 2},
+    "preprocess": {
+        "core_method": "SpVoxelPreprocessor",
+        "args": {"voxel_size": [0.4, 0.4, 0.1],
+                 "max_points_per_voxel": 8,
+                 "max_voxel_train": 64},
+        "cav_lidar_range": [-6.4, -6.4, -1.6, 6.4, 6.4, 1.6],
+    },
+    "postprocess": {
+        "core_method": "VoxelPostprocessor",
+        "anchor_args": {"cav_lidar_range": [-6.4, -6.4, -1.6,
+                                            6.4, 6.4, 1.6],
+                        "num": 2},
+        "order": "hwl",
+    },
+    "model": {"core_method": "second", "args": {
+        "mean_vfe": {"num_point_features": 4},
+        "base_bev_backbone": {
+            "layer_nums": [2, 2], "layer_strides": [1, 2],
+            "num_filters": [32, 64], "upsample_strides": [1, 2],
+            "num_upsample_filter": [32, 32]},
+        "fusion": {"core_method": "max"},
+    }},
+}
+
+
+def test_load_second_params_derives_geometry(tmp_path):
+    path = os.path.join(tmp_path, "second.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(TINY_SECOND_HYPES, f)
+    hypes = load_hypes(path)
+    # range 12.8m / 0.4m voxels -> 32 cells; height 3.2m / 0.1 -> 32
+    assert hypes["model"]["args"]["grid_size"] == [32, 32, 32]
+    aa = hypes["postprocess"]["anchor_args"]
+    assert (aa["W"], aa["H"], aa["D"]) == (32, 32, 32)
+    assert (aa["vw"], aa["vh"], aa["vd"]) == (0.4, 0.4, 0.1)
+
+
+def _voxel_batch(cfg, rng, B=1):
+    L, N, P = cfg.max_cav, 16, 8
+    W, H, D = cfg.grid_size
+    coords = np.stack([
+        np.zeros((B, L, N)),
+        rng.randint(0, D, (B, L, N)),
+        rng.randint(0, H, (B, L, N)),
+        rng.randint(0, W, (B, L, N))], axis=-1).astype(np.int32)
+    return {
+        "voxel_features": jnp.asarray(
+            rng.rand(B, L, N, P, 4).astype(np.float32)),
+        "voxel_num_points": jnp.asarray(
+            rng.randint(1, P + 1, (B, L, N))),
+        "voxel_coords": jnp.asarray(coords),
+        "voxel_mask": jnp.ones((B, L, N), jnp.float32),
+        "transformation_matrix": jnp.asarray(
+            np.tile(np.eye(4, dtype=np.float32), (B, L, 1, 1))),
+        "agent_mask": jnp.ones((B, L), jnp.float32),
+    }
+
+
+def test_second_pipeline_train_step(tmp_path):
+    path = os.path.join(tmp_path, "second.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(TINY_SECOND_HYPES, f)
+    hypes = load_hypes(path)
+    cfg = second_config_from_hypes(hypes)
+    assert cfg.grid_size == (32, 32, 32)
+    assert cfg.fusion == "max"
+
+    model = SecondDetector(cfg)
+    rng = np.random.RandomState(0)
+    batch = _voxel_batch(cfg, rng)
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    out = model.apply(variables, batch, False)
+    h, w = out["cls_preds"].shape[1:3]
+    assert out["reg_preds"].shape[-1] == 7 * cfg.anchor_num
+
+    criterion = PointPillarLoss(anchor_num=cfg.anchor_num)
+    target = {
+        "pos_equal_one": jnp.asarray(
+            (rng.rand(1, h, w, cfg.anchor_num) > 0.9).astype(np.float32)),
+        "neg_equal_one": jnp.asarray(
+            (rng.rand(1, h, w, cfg.anchor_num) > 0.2).astype(np.float32)),
+        "targets": jnp.asarray(
+            rng.randn(1, h, w, 7 * cfg.anchor_num).astype(np.float32)),
+    }
+
+    def loss_fn(params):
+        preds, _ = model.apply(
+            {"params": params,
+             "batch_stats": variables["batch_stats"]},
+            batch, True, mutable=["batch_stats"])
+        total = criterion(preds, target)
+        return total if not isinstance(total, tuple) else total[0]
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+    assert gnorm > 0
