@@ -1,0 +1,107 @@
+"""3D LiDAR visualization (VERDICT r1 item 6): headless parity with
+reference opv2v/opencood/visualization/vis_utils.py — box edge geometry,
+color encodings, frame/sequence/BEV rendering, and the view_lidar CLI on
+the synthetic OPV2V lidar fixture."""
+
+import os
+import sys
+import subprocess
+
+import numpy as np
+import pytest
+
+from cobevt_tpu.utils.lidar_viz import (
+    box_edge_segments,
+    color_encoding,
+    visualize_bev,
+    visualize_frame,
+    visualize_sequence,
+)
+
+
+def _boxes(n=3, seed=0):
+    rng = np.random.RandomState(seed)
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, :3] = rng.randn(n, 3) * 5
+    boxes[:, 3:6] = 1.5 + rng.rand(n, 3)
+    boxes[:, 6] = rng.rand(n) * np.pi
+    return boxes
+
+
+def test_box_edge_segments_shape_and_lengths():
+    segs = box_edge_segments(_boxes(), order="hwl")
+    assert segs.shape == (3, 12, 2, 3)
+    # every box contributes 12 edges; 3 distinct edge lengths (l, w, h),
+    # 4 of each
+    lengths = np.linalg.norm(segs[0, :, 0] - segs[0, :, 1], axis=-1)
+    uniq = np.unique(np.round(lengths, 4))
+    assert len(uniq) == 3
+    for u in uniq:
+        assert (np.isclose(lengths, u, atol=1e-3)).sum() == 4
+
+
+def test_color_encoding_modes():
+    intensity = np.linspace(0.01, 1.0, 50)
+    for mode in ("intensity", "z-value", "constant"):
+        c = color_encoding(intensity, mode)
+        assert c.shape == (50, 3)
+        assert np.isfinite(c).all()
+    # constant mode is the reference's warm white
+    np.testing.assert_allclose(color_encoding(intensity, "constant")[0],
+                               [247 / 255, 244 / 255, 237 / 255])
+
+
+def _cloud(n=500, seed=1):
+    rng = np.random.RandomState(seed)
+    pcd = np.zeros((n, 4), np.float32)
+    pcd[:, :2] = rng.randn(n, 2) * 10
+    pcd[:, 2] = rng.rand(n) * 2 - 1.5
+    pcd[:, 3] = rng.rand(n)
+    return pcd
+
+
+@pytest.mark.parametrize("view", ["3d", "bev"])
+def test_visualize_frame_renders_nontrivial_image(tmp_path, view):
+    path = os.path.join(tmp_path, f"frame_{view}.png")
+    visualize_frame(_cloud(), pred_boxes=_boxes(2, 1),
+                    gt_boxes=_boxes(2, 2), order="hwl", view=view,
+                    mode="z-value", save_path=path)
+    import cv2
+
+    img = cv2.imread(path)
+    assert img is not None and img.size > 0
+    # black background + colored content: the image must not be blank
+    assert img.max() > 40
+    assert (img.astype(np.int32).std() > 1.0)
+
+
+def test_visualize_sequence_writes_frames(tmp_path):
+    frames = [{"pcd": _cloud(seed=i), "gt_boxes": _boxes(1, i)}
+              for i in range(3)]
+    paths = visualize_sequence(frames, str(tmp_path), view="bev")
+    assert len(paths) == 3
+    assert all(os.path.exists(p) for p in paths)
+
+
+def test_visualize_bev_grid(tmp_path):
+    grid = np.zeros((64, 64, 3), np.float32)
+    grid[20:40, 10:30, 0] = 1.0
+    path = os.path.join(tmp_path, "bev.png")
+    visualize_bev(grid, save_path=path)
+    assert os.path.exists(path)
+
+
+def test_view_lidar_cli_on_fixture(tmp_path):
+    from tests.test_lidar_dataset_e2e import write_lidar_fixture
+
+    root = os.path.join(tmp_path, "opv2v")
+    write_lidar_fixture(root)
+    out = os.path.join(tmp_path, "viz")
+    result = subprocess.run(
+        [sys.executable, "-m", "cobevt_tpu.tools.view_lidar",
+         "--root", root, "--out", out, "--max_frames", "2"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    assert result.returncode == 0, result.stderr[-2000:]
+    pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert len(pngs) >= 1
