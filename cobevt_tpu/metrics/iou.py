@@ -49,8 +49,13 @@ def iou_update(state: IoUState, logits, label, thresholds=(0.4, 0.5),
     probs = jax.nn.sigmoid(logits.astype(jnp.float32))
     label = label.astype(jnp.float32)
     if label_indices is not None:
-        label = jnp.stack([label[..., list(idx)].max(-1)
-                           for idx in label_indices], axis=-1)
+        # fold {0,1} channels into groups with one matmul against a
+        # static membership matrix (== per-group max for binary labels)
+        member = np.zeros((label.shape[-1], len(label_indices)),
+                          np.float32)
+        for g, idx in enumerate(label_indices):
+            member[list(idx), g] = 1.0
+        label = jnp.minimum(label @ jnp.asarray(member), 1.0)
     thr = jnp.asarray(thresholds, jnp.float32)
 
     pred = probs[..., None] >= thr                     # (B,H,W,C,T)

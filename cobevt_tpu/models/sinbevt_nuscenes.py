@@ -241,9 +241,15 @@ class Decoder(nn.Module):
 
 class CrossViewTransformer(nn.Module):
     """encoder -> decoder -> to_logits, sliced into named outputs
-    (reference cvt.py:4)."""
+    (reference cvt.py:4).
 
-    encoder_config: PyramidAxialConfig = PyramidAxialConfig()
+    The encoder is picked by the config's type — `PyramidAxialConfig`
+    builds the FAX pyramid encoder; a `CVTNuScenesConfig`
+    (models/cvt_nuscenes.py) builds the dense CVT baseline — mirroring
+    the reference's Hydra model switch (config/model/{cvt_pyramid_axial,
+    cvt}.yaml both targeting cvt.py:4)."""
+
+    encoder_config: Any = PyramidAxialConfig()
     decoder_blocks: Tuple[int, ...] = (128, 128, 64)
     dim_last: int = 64
     outputs: Tuple[Tuple[str, Tuple[int, int]], ...] = (("bev", (0, 1)),)
@@ -251,8 +257,13 @@ class CrossViewTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, batch: Dict, train: bool = False):
-        x = PyramidAxialEncoder(self.encoder_config, dtype=self.dtype,
-                                name="encoder")(batch, train)
+        if isinstance(self.encoder_config, PyramidAxialConfig):
+            x = PyramidAxialEncoder(self.encoder_config, dtype=self.dtype,
+                                    name="encoder")(batch, train)
+        else:
+            from cobevt_tpu.models.cvt_nuscenes import CVTNuScenesEncoder
+            x = CVTNuScenesEncoder(self.encoder_config, dtype=self.dtype,
+                                   name="encoder")(batch, train)
         y = Decoder(self.decoder_blocks, dtype=self.dtype,
                     name="decoder")(x, train)
         z = torch_conv(self.dim_last, 3, 1, 1, False, self.dtype,

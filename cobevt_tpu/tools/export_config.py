@@ -228,11 +228,22 @@ def export_preset(name: str) -> dict:
 
 def main():
     p = argparse.ArgumentParser("cobevt_tpu export_config")
+    from cobevt_tpu.configs.nuscenes_experiments import (
+        all_nuscenes_experiments,
+        experiment_to_dict,
+        nuscenes_experiment,
+    )
     from cobevt_tpu.configs.presets import all_opcamera_presets
 
-    p.add_argument("preset", choices=sorted(all_opcamera_presets()))
+    names = sorted(all_opcamera_presets()) + sorted(
+        all_nuscenes_experiments())
+    p.add_argument("preset", choices=names)
     opt = p.parse_args()
-    yaml.safe_dump(export_preset(opt.preset), sys.stdout, sort_keys=False)
+    if opt.preset in all_nuscenes_experiments():
+        out = experiment_to_dict(nuscenes_experiment(opt.preset))
+    else:
+        out = export_preset(opt.preset)
+    yaml.safe_dump(out, sys.stdout, sort_keys=False)
 
 
 if __name__ == "__main__":

@@ -20,22 +20,30 @@ import numpy as np
 
 
 def parse_args():
+    from cobevt_tpu.configs.nuscenes_experiments import (
+        all_nuscenes_experiments,
+    )
+
     p = argparse.ArgumentParser("cobevt_tpu nuScenes training")
     p.add_argument("--dataset_dir", required=True)
     p.add_argument("--labels_dir", required=True)
     p.add_argument("--save_dir", default="runs/sinbevt_nuscenes")
-    p.add_argument("--steps", type=int, default=50001)
-    p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--lr", type=float, default=5e-3)
-    p.add_argument("--weight_decay", type=float, default=1e-7)
-    p.add_argument("--grad_clip", type=float, default=5.0)
-    p.add_argument("--ckpt_every", type=int, default=1000)
+    p.add_argument("--experiment",
+                   default="cvt_pyramid_axial_nuscenes_vehicle",
+                   choices=sorted(all_nuscenes_experiments()),
+                   help="composed experiment preset (reference "
+                        "config/experiment/*.yaml equivalent)")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--weight_decay", type=float, default=None)
+    p.add_argument("--grad_clip", type=float, default=None)
+    p.add_argument("--ckpt_every", type=int, default=None)
     p.add_argument("--half", action="store_true")
     p.add_argument("--scenes", nargs="*", default=None,
                    help="scene names; defaults to every labels json")
-    p.add_argument("--label_indices", type=int, nargs="*",
-                   default=[4, 5, 6, 7, 8, 10, 11],
-                   help="channels folded into the vehicle class")
+    p.add_argument("--label_indices", type=int, nargs="*", default=None,
+                   help="override the experiment's label grouping")
     return p.parse_args()
 
 
@@ -47,18 +55,16 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       "/root/repo/.jax_cache")
 
+    import dataclasses
+
+    from cobevt_tpu.configs.nuscenes_experiments import (
+        build_criterion,
+        build_model,
+        nuscenes_experiment,
+    )
     from cobevt_tpu.data.loader import DataLoader
     from cobevt_tpu.data.nuscenes_gen import concat_scene_datasets
-    from cobevt_tpu.losses import (
-        BinarySegmentationLoss,
-        CenterLoss,
-        MultipleLoss,
-    )
     from cobevt_tpu.metrics import IoUState, iou_compute, iou_update
-    from cobevt_tpu.models.sinbevt_nuscenes import (
-        CrossViewTransformer,
-        PyramidAxialConfig,
-    )
     from cobevt_tpu.train import (
         create_train_state,
         make_eval_step,
@@ -72,31 +78,35 @@ def main():
     )
     from cobevt_tpu.train.loop import MetricLogger
 
+    exp = nuscenes_experiment(opt.experiment)
+    if opt.label_indices is not None:
+        exp = dataclasses.replace(
+            exp, label_indices=(tuple(opt.label_indices),))
+    overrides = {k: getattr(opt, a) for k, a in
+                 [("lr", "lr"), ("weight_decay", "weight_decay"),
+                  ("grad_clip", "grad_clip"), ("steps", "steps"),
+                  ("batch_size", "batch"),
+                  ("checkpoint_interval", "ckpt_every")]
+                 if getattr(opt, a) is not None}
+    if overrides:
+        exp = dataclasses.replace(exp, **overrides)
+
     scenes = opt.scenes
     if scenes is None:
         scenes = sorted(f[:-5] for f in os.listdir(opt.labels_dir)
                         if f.endswith(".json"))
     dataset = concat_scene_datasets(scenes, opt.dataset_dir,
                                     opt.labels_dir)
-    loader = DataLoader(dataset, opt.batch, shuffle=True)
+    loader = DataLoader(dataset, exp.batch_size, shuffle=True)
 
-    model = CrossViewTransformer(
-        PyramidAxialConfig(),
-        decoder_blocks=(128, 128, 64), dim_last=64,
-        outputs=(("bev", (0, 1)), ("center", (1, 2))),
-        dtype=jnp.bfloat16 if opt.half else None)
-
-    label_idx = (tuple(opt.label_indices),)
-    criterion = MultipleLoss(
-        losses=(("bev", BinarySegmentationLoss(
-            label_indices=label_idx, min_visibility=2)),
-            ("center", CenterLoss(min_visibility=2))),
-        weights=(("bev", 1.0), ("center", 0.1)))
+    model = build_model(exp, half=opt.half)
+    label_idx = exp.label_indices
+    criterion = build_criterion(exp)
 
     tx = make_optimizer(
-        onecycle_schedule(opt.lr, opt.steps),
-        weight_decay=opt.weight_decay, eps=1e-8,
-        grad_clip=opt.grad_clip)
+        onecycle_schedule(exp.lr, exp.steps),
+        weight_decay=exp.weight_decay, eps=1e-8,
+        grad_clip=exp.grad_clip)
 
     sample = dataset[0]
     sample_batch = {k: np.stack([v]) for k, v in sample.items()}
@@ -111,11 +121,11 @@ def main():
     train_step = make_train_step(model, loss_adapter, donate=False)
     eval_step = make_eval_step(model, loss_adapter)
     logger = MetricLogger(os.path.join(opt.save_dir, "logs"))
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(exp.seed)
 
     step = int(state.step)
     epoch = 0
-    while step < opt.steps:
+    while step < exp.steps:
         loader.set_epoch(epoch)
         for batch in loader:
             rng, srng = jax.random.split(rng)
@@ -124,9 +134,9 @@ def main():
             if step % 50 == 0:
                 logger.log(step, {k: float(v) for k, v in logs.items()})
                 print(f"step {step} loss {float(logs['loss']):.4f}")
-            if step % opt.ckpt_every == 0:
+            if step % exp.checkpoint_interval == 0:
                 save_checkpoint(ckpt_dir, state, step)
-            if step >= opt.steps:
+            if step >= exp.steps:
                 break
         epoch += 1
     save_checkpoint(ckpt_dir, state, step)

@@ -77,12 +77,26 @@ def restore_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):
 
 def restore_from_torch(state, torch_state_dict, drop_prefixes=()):
     """Load a reference torch checkpoint into a TrainState (strict=False
-    equivalent: `drop_prefixes` skips modules we don't instantiate)."""
-    from cobevt_tpu.utils.torch_port import fit_to_template, torch_to_flax
+    equivalent: `drop_prefixes` skips modules we don't instantiate).
+
+    Fails loudly with a full weights-manifest diff (every missing /
+    unexpected / shape-mismatched leaf at once) when the checkpoint does
+    not line up with the model — real published checkpoints with drifted
+    key naming or BN layout surface as one readable report, never as a
+    silently partial load."""
+    from cobevt_tpu.utils.torch_port import (
+        check_manifest,
+        fit_to_template,
+        torch_to_flax,
+    )
 
     sd = {k: v for k, v in torch_state_dict.items()
           if not k.startswith(tuple(drop_prefixes))}
     converted = torch_to_flax(sd)
+    check_manifest(converted["params"], state.params, "params")
+    if state.batch_stats and "batch_stats" in converted:
+        check_manifest(converted["batch_stats"], state.batch_stats,
+                       "batch_stats")
     params = fit_to_template(converted["params"], state.params)
     bs = state.batch_stats
     if state.batch_stats and "batch_stats" in converted:

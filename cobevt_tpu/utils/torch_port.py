@@ -56,6 +56,52 @@ def _leaves_match(a_shape, b_shape):
     return int(np.prod(a_shape)) == int(np.prod(b_shape))
 
 
+def _flatten(tree: dict, path=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flatten(v, path + (k,))
+        else:
+            yield "/".join(path + (k,)), np.shape(v)
+
+
+def manifest_diff(converted: dict, template: dict):
+    """Compare a converted checkpoint tree against a model's variable
+    template: returns (missing, unexpected, mismatched) flat-path lists.
+
+    Unlike `fit_to_template` (which raises at the first problem), this
+    reports the complete weights manifest in one pass — the loud-fail
+    surface for porting *real* published reference checkpoints whose key
+    naming or BN layout may drift from the synthetic test fixtures.
+    """
+    conv = dict(_flatten(converted))
+    temp = dict(_flatten(template))
+    missing = sorted(set(temp) - set(conv))
+    unexpected = sorted(set(conv) - set(temp))
+    mismatched = sorted(
+        f"{k}: torch {conv[k]} vs flax {temp[k]}"
+        for k in set(conv) & set(temp)
+        if int(np.prod(conv[k])) != int(np.prod(temp[k])))
+    return missing, unexpected, mismatched
+
+
+def check_manifest(converted: dict, template: dict, what: str = "params"):
+    """Raise one consolidated error listing every missing/unexpected/
+    mismatched leaf between a ported checkpoint and the model."""
+    missing, unexpected, mismatched = manifest_diff(converted, template)
+    if not (missing or unexpected or mismatched):
+        return
+    lines = [f"torch checkpoint does not match the model ({what}):"]
+    for title, items in (("missing in checkpoint", missing),
+                         ("unexpected in checkpoint", unexpected),
+                         ("shape mismatch", mismatched)):
+        if items:
+            lines.append(f"  {title} ({len(items)}):")
+            lines.extend(f"    {it}" for it in items[:50])
+            if len(items) > 50:
+                lines.append(f"    ... and {len(items) - 50} more")
+    raise ValueError("\n".join(lines))
+
+
 def fit_to_template(converted: dict, template: dict, path=()) -> dict:
     """Reshape converted leaves to the template's leaf shapes.
 

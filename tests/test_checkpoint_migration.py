@@ -117,3 +117,35 @@ def test_migrate_reference_torch_checkpoint(tmp_path):
         batch, False)
     ours = np.asarray(out["dynamic_seg"]).transpose(0, 1, 4, 2, 3)
     np.testing.assert_allclose(ours, ref_out, atol=5e-3, rtol=1e-2)
+
+
+def test_manifest_check_fails_loudly_on_drifted_checkpoint():
+    """A real checkpoint with drifted key naming must raise one
+    consolidated manifest report (missing + unexpected + mismatched),
+    not a partial load or a single-key error."""
+    import pytest
+
+    from cobevt_tpu.utils.torch_port import check_manifest, manifest_diff
+
+    template = {"encoder": {"conv1": {"kernel": np.zeros((3, 3, 4, 8)),
+                                      "bias": np.zeros((8,))}},
+                "head": {"kernel": np.zeros((8, 2))}}
+    converted = {"encoder": {"conv1": {"kernel": np.zeros((3, 3, 4, 8))},
+                             "conv_extra": {"kernel": np.zeros((1,))}},
+                 "head": {"kernel": np.zeros((8, 3))}}
+    missing, unexpected, mismatched = manifest_diff(converted, template)
+    assert missing == ["encoder/conv1/bias"]
+    assert unexpected == ["encoder/conv_extra/kernel"]
+    assert len(mismatched) == 1 and mismatched[0].startswith("head/kernel")
+
+    with pytest.raises(ValueError) as exc:
+        check_manifest(converted, template)
+    msg = str(exc.value)
+    assert "encoder/conv1/bias" in msg
+    assert "encoder/conv_extra/kernel" in msg
+    assert "head/kernel" in msg
+
+    # a matching manifest is silent
+    check_manifest({"encoder": {"conv1": {"kernel": np.zeros((3, 3, 4, 8)),
+                                          "bias": np.zeros((8,))}},
+                    "head": {"kernel": np.zeros((8, 2))}}, template)
