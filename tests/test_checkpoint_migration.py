@@ -58,6 +58,7 @@ def pad_batch(images, intrinsic, extrinsic, tmat):
     }
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip(tmp_path):
     model = CorpBEVT(our_config())
     images, intrinsic, extrinsic, tmat = make_batch()

@@ -26,7 +26,10 @@ from cobevt_tpu.configs.presets import all_opcamera_presets
 from cobevt_tpu.losses import VanillaSegLoss
 from cobevt_tpu.tools.export_config import export_preset
 
-PRESETS = sorted(all_opcamera_presets())
+# the full corpbevt/fax/cvt graphs compile whole train steps — slow lane
+_HEAVY = {"corpbevt", "corpbevt_static", "fax", "cvt"}
+PRESETS = [pytest.param(p, marks=pytest.mark.slow) if p in _HEAVY else p
+           for p in sorted(all_opcamera_presets())]
 
 
 def _shrink(hypes):

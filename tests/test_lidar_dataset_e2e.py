@@ -78,6 +78,7 @@ def test_object_center_projection():
     np.testing.assert_allclose(boxes[0, 3:6], [1.0, 2.0, 4.0], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lidar_dataset_and_train_step(tmp_path):
     root = str(tmp_path / "train")
     write_lidar_fixture(root)

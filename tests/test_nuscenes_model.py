@@ -81,6 +81,7 @@ def test_cvt_forward_shapes_and_outputs():
     assert np.isfinite(np.asarray(out["bev"])).all()
 
 
+@pytest.mark.slow
 def test_cvt_train_step_with_losses():
     cfg = small_cfg()
     model = CrossViewTransformer(

@@ -7,6 +7,7 @@ and runs one train step."""
 import os
 
 import numpy as np
+import pytest
 import yaml
 import jax
 import jax.numpy as jnp
@@ -80,6 +81,7 @@ def _voxel_batch(cfg, rng, B=1):
     }
 
 
+@pytest.mark.slow
 def test_second_pipeline_train_step(tmp_path):
     path = os.path.join(tmp_path, "second.yaml")
     with open(path, "w") as f:

@@ -1,6 +1,7 @@
 """Agent-count bucketing: sliced forward agrees with the padded one."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -35,6 +36,7 @@ def test_bucketed_matches_padded():
         np.asarray(padded_out["dynamic_seg"]), atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_staged_bucketing_exact_for_reference_default():
     """Default fusion semantics (mean over max_cav, reference
     swap_fusion_modules.py:275-281): staged bucketing must match the

@@ -16,6 +16,8 @@ TINY_HYPES = {
     "name": "tiny_corpbevt",
     "train_params": {"batch_size": 2, "epoches": 1, "eval_freq": 1,
                      "save_freq": 1, "max_cav": 3, "visible": True},
+    # reference-required dataset dispatch block (corpbevt.yaml:17-19)
+    "fusion": {"core_method": "CamIntermediateFusionDataset", "args": []},
     "preprocess": {
         "core_method": "RgbPreprocessor",
         "args": {"bgr2rgb": True, "resize_x": IMG, "resize_y": IMG,
@@ -67,6 +69,7 @@ TINY_HYPES = {
 }
 
 
+@pytest.mark.slow
 def test_train_eval_resume_cycle(tmp_path, monkeypatch):
     import sys
 
@@ -110,6 +113,7 @@ def test_bev_label_geometry_consistency():
     assert out == BEV
 
 
+@pytest.mark.slow
 def test_overfit_single_batch():
     """Learning sanity: 25 optimizer steps on one tiny batch should cut
     the loss substantially (catches dead gradients / wrong label

@@ -74,6 +74,7 @@ def make_criterion():
     return criterion
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_model", [1, 2])
 def test_train_step_dp_tp(n_model):
     assert jax.device_count() >= 8
@@ -119,6 +120,7 @@ def test_metrics_reduce_over_mesh():
                                np.asarray(iou_compute(full)), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_agent_axis_sharding():
     """Cooperative parallelism: batch over "data" x agents over "model"
     — per-agent encoder/FAX runs chip-local, fusion all-gathers.  Loss
