@@ -241,6 +241,8 @@ class CrossViewModule(nn.Module):
         prior = _DenseBEVPrior(cfg.dim, cfg.sigma, grid_h, grid_w,
                                name="bev_embedding")()
         x = repeat(prior, "H W d -> b H W d", b=b * l)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)   # keep the BEV stream in compute dtype
 
         for i, feature in enumerate(features):
             fh, fw, fc = cfg.backbone_output_shape[i]

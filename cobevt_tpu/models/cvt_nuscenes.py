@@ -81,6 +81,8 @@ class CVTNuScenesEncoder(nn.Module):
         prior = _DenseBEVPrior(cfg.dim, cfg.sigma, grid_h, grid_w,
                                name="bev_embedding")()
         x = repeat(prior, "H W d -> b H W d", b=B)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)   # keep the BEV stream in compute dtype
 
         for i, feat in enumerate(feats):
             fh, fw, fc = feat.shape[1:]
