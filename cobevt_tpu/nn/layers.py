@@ -20,10 +20,14 @@ MXU without layout transposes.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
+
+from cobevt_tpu.ops.conv2d import fold_bn, fused_conv3x3
 
 
 def gelu(x):
@@ -60,8 +64,66 @@ def layer_norm(dtype=None, name=None) -> nn.LayerNorm:
     return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=name)
 
 
+class ConvKernelParams(nn.Module):
+    """Declares/reads an `nn.Conv`-compatible kernel without computing.
+
+    Same variable contract as `torch_conv(...)` with `use_bias=False`
+    (path `<name>/kernel`, shape (kh, kw, in, out), lecun-normal init),
+    so a model may run either the stock conv or the fused inference
+    path against the same checkpoint."""
+
+    kernel_size: int
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, self.in_features, self.features), jnp.float32)
+
+
+class BNParams(nn.Module):
+    """Declares/reads `nn.BatchNorm`-compatible variables without
+    computing (params scale/bias; batch_stats mean/var) — the fused
+    inference path folds them into the conv (`ops/conv2d.py:fold_bn`)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = (self.features,)
+        scale = self.param("scale", nn.initializers.ones_init(), f,
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), f,
+                          jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros(f, jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones(f, jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+def fused_conv_enabled(c_in: int, c_out: int) -> bool:
+    """Fused inference conv pays off when the channel axes fill whole
+    128-lane registers (measured on the 5-agent CorpBEVT forward:
+    ~25-40% faster than the XLA emitter per stride-1 block at C in
+    {128, 256, 512}, but slower at C=64 where per-grid-step overhead and
+    half-register operands dominate — see docs/DESIGN.md).  Narrow convs
+    stay on XLA.  Env kill-switch: COBEVT_FUSED_CONV=0."""
+    if os.environ.get("COBEVT_FUSED_CONV", "1") == "0":
+        return False
+    return c_in >= 128 and c_out >= 128
+
+
 class BasicBlock(nn.Module):
-    """ResNet v1 basic block (two 3x3 convs), torchvision-compatible."""
+    """ResNet v1 basic block (two 3x3 convs), torchvision-compatible.
+
+    Inference runs the fused Pallas path (conv + folded BN + residual +
+    ReLU in one kernel, `ops/conv2d.py`); training keeps the stock
+    flax modules (live batch stats, autodiff).  Both paths share one
+    parameter tree."""
 
     planes: int
     stride: int = 1
@@ -70,6 +132,12 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # strided blocks stay fully on XLA: their conv1/downsample would
+        # split across backends and the custom-call boundary costs more
+        # than the fused conv2 saves (measured)
+        if not train and self.stride == 1 and \
+                fused_conv_enabled(x.shape[-1], self.planes):
+            return self._fused_eval(x)
         identity = x
         out = torch_conv(self.planes, 3, self.stride, 1, False,
                          self.dtype, "conv1")(x)
@@ -87,6 +155,23 @@ class BasicBlock(nn.Module):
             identity = batch_norm(dtype=self.dtype, name="downsample_1")(
                 identity, use_running_average=not train)
         return nn.relu(out + identity)
+
+    def _fused_eval(self, x):
+        cin = x.shape[-1]
+        k1 = ConvKernelParams(3, cin, self.planes, name="conv1")()
+        w1, t1 = fold_bn(k1, *BNParams(self.planes, name="bn1")())
+        out = fused_conv3x3(x, w1, t1, relu=True)
+
+        identity = x
+        if self.downsample:
+            identity = torch_conv(self.planes, 1, 1, 0, False,
+                                  self.dtype, "downsample_0")(x)
+            identity = batch_norm(dtype=self.dtype, name="downsample_1")(
+                identity, use_running_average=True)
+
+        k2 = ConvKernelParams(3, self.planes, self.planes, name="conv2")()
+        w2, t2 = fold_bn(k2, *BNParams(self.planes, name="bn2")())
+        return fused_conv3x3(out, w2, t2, residual=identity, relu=True)
 
 
 class Bottleneck(nn.Module):
