@@ -29,9 +29,12 @@ import numpy as np
 from einops import rearrange, repeat
 
 from cobevt_tpu.geometry.transforms import generate_grid, get_view_matrix
+from cobevt_tpu.ops.fused_cross_attention import fused_cross_view_attention
 from cobevt_tpu.ops.window_attention import fused_window_attention_packed
 from cobevt_tpu.nn.layers import (
     Bottleneck,
+    DenseParams,
+    LNParams,
     batch_norm,
     gelu,
     layer_norm,
@@ -270,6 +273,59 @@ class CrossWinAttention(nn.Module):
         return out
 
 
+class CrossWinAttentionParams(nn.Module):
+    """Parameter mirror of `CrossWinAttention` (same tree: to_q_0/to_q_1
+    /to_k_0/to_k_1/to_v_0/to_v_1/proj) for the fused inference kernel
+    (`ops/fused_cross_attention.py`), which applies the LayerNorms and
+    projections inside the Pallas program."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    qkv_bias: bool
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        inner = self.heads * self.dim_head
+        gq, bq_ln = LNParams(self.in_dim, name="to_q_0")()
+        wq, bq = DenseParams(self.in_dim, inner, self.qkv_bias,
+                             name="to_q_1")()
+        gk, bk_ln = LNParams(self.in_dim, name="to_k_0")()
+        wk, bk = DenseParams(self.in_dim, inner, self.qkv_bias,
+                             name="to_k_1")()
+        gv, bv_ln = LNParams(self.in_dim, name="to_v_0")()
+        wv, bv = DenseParams(self.in_dim, inner, self.qkv_bias,
+                             name="to_v_1")()
+        wo, bo = DenseParams(inner, self.dim, True, name="proj")()
+        zero = jnp.zeros((inner,), jnp.float32)
+        return {
+            "ln_q": (gq, bq_ln), "ln_k": (gk, bk_ln), "ln_v": (gv, bv_ln),
+            "wq": wq, "bq": bq if bq is not None else zero,
+            "wk": wk, "bk": bk if bk is not None else zero,
+            "wv": wv, "bv": bv if bv is not None else zero,
+            "wo": wo, "bo": bo,
+        }
+
+
+def fused_xattn_ok(n_q_tokens: int, heads: int, n_k_tokens: int,
+                   H: int, W: int, q_win, h: int, w: int, k_win) -> bool:
+    """Fused local-branch kernel applies when windows tile evenly and
+    the per-window similarity tile fits VMEM comfortably."""
+    import os
+    if os.environ.get("COBEVT_FUSED_XATTN", "1") == "0":
+        return False
+    if H % q_win[0] or W % q_win[1] or h % k_win[0] or w % k_win[1]:
+        return False
+    if (H // q_win[0]) != (h // k_win[0]) or \
+            (W // q_win[1]) != (w // k_win[1]):
+        return False
+    if k_win[1] % 8:
+        return False
+    sim_bytes = n_q_tokens * heads * n_k_tokens * 4
+    return sim_bytes <= 4 * 2 ** 20
+
+
 class CrossViewSwapAttention(nn.Module):
     """One FAX pyramid stage: camera-geometry embeds + local-window
     cross-attention + grid (global) cross-attention, each followed by an
@@ -321,15 +377,10 @@ class CrossViewSwapAttention(nn.Module):
         img_embed = img_embed / (jnp.linalg.norm(
             img_embed, axis=-1, keepdims=True) + 1e-7)
 
+        w_embed = None
         if self.bev_embed_flag:
             w_embed = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
                                name="bev_embed")(world)          # (H, W, d)
-            bev_embed = w_embed[None, None] - c_embed[:, :, None, None]
-            bev_embed = bev_embed / (jnp.linalg.norm(
-                bev_embed, axis=-1, keepdims=True) + 1e-7)       # (b,n,H,W,d)
-            query = bev_embed + x[:, None]
-        else:
-            query = x[:, None]                                   # (b,1,H,W,d)
 
         def bn_relu_conv(t, name):
             flat = t.reshape(b * n, h, w, -1)
@@ -348,18 +399,42 @@ class CrossViewSwapAttention(nn.Module):
 
         key = pad_divisible(key, *self.feat_win_size)
         val = pad_divisible(val, *self.feat_win_size)
+        kh, kw_ = key.shape[2], key.shape[3]
 
         # --- local-window cross attention ---
-        qw = window_partition(query, *self.q_win_size)
-        kw = window_partition(key, *self.feat_win_size)
-        vw = window_partition(val, *self.feat_win_size)
-        skip1 = (window_partition(x, *self.q_win_size)
-                 if self.skip else None)
-        query = CrossWinAttention(self.dim, self.heads, self.dim_head,
-                                  self.qkv_bias, dtype=self.dtype,
-                                  name="cross_win_attend_1")(qw, kw, vw,
-                                                             skip1)
-        query = window_reverse(query)                         # (b, H, W, d)
+        nq = n if self.bev_embed_flag else 1
+        use_fused = (not train) and fused_xattn_ok(
+            nq * self.q_win_size[0] * self.q_win_size[1], self.heads,
+            n * self.feat_win_size[0] * self.feat_win_size[1],
+            H, W, self.q_win_size, kh, kw_, self.feat_win_size)
+        if use_fused:
+            p = CrossWinAttentionParams(
+                self.dim, self.heads, self.dim_head, self.qkv_bias,
+                x.shape[-1], name="cross_win_attend_1")()
+            query = fused_cross_view_attention(
+                x, w_embed, c_embed if self.bev_embed_flag else None,
+                key, val, p, tuple(self.q_win_size),
+                tuple(self.feat_win_size), self.heads,
+                self.dim_head ** -0.5, add_skip=self.skip)
+        else:
+            if self.bev_embed_flag:
+                bev_embed = w_embed[None, None] - \
+                    c_embed[:, :, None, None]
+                bev_embed = bev_embed / (jnp.linalg.norm(
+                    bev_embed, axis=-1, keepdims=True) + 1e-7)
+                query = bev_embed + x[:, None]               # (b,n,H,W,d)
+            else:
+                query = x[:, None]                           # (b,1,H,W,d)
+            qw = window_partition(query, *self.q_win_size)
+            kw = window_partition(key, *self.feat_win_size)
+            vw = window_partition(val, *self.feat_win_size)
+            skip1 = (window_partition(x, *self.q_win_size)
+                     if self.skip else None)
+            query = CrossWinAttention(self.dim, self.heads, self.dim_head,
+                                      self.qkv_bias, dtype=self.dtype,
+                                      name="cross_win_attend_1")(
+                                          qw, kw, vw, skip1)
+            query = window_reverse(query)                 # (b, H, W, d)
         query = query + mlp_seq(
             layer_norm(dtype=self.dtype, name="prenorm_1")(query),
             2 * self.dim, self.dim, self.dtype, "mlp_1")
@@ -374,8 +449,8 @@ class CrossViewSwapAttention(nn.Module):
         # identity.  Computing with a single copy is exact and cuts the
         # grid branch's q-side work n-fold.
         qg = window_partition(query[:, None], *self.q_win_size)
-        kg = grid_partition(window_reverse(kw), *self.feat_win_size)
-        vg = grid_partition(window_reverse(vw), *self.feat_win_size)
+        kg = grid_partition(key, *self.feat_win_size)
+        vg = grid_partition(val, *self.feat_win_size)
         skip2 = (window_partition(x_skip, *self.q_win_size)
                  if self.skip else None)
         query = CrossWinAttention(self.dim, self.heads, self.dim_head,

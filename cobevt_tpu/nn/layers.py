@@ -105,6 +105,39 @@ class BNParams(nn.Module):
         return scale, bias, mean.value, var.value
 
 
+class LNParams(nn.Module):
+    """Declares/reads `nn.LayerNorm`-compatible params (scale, bias)
+    without computing — for fused kernels that apply the norm in-VMEM."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = (self.features,)
+        return (self.param("scale", nn.initializers.ones_init(), f,
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros_init(), f,
+                           jnp.float32))
+
+
+class DenseParams(nn.Module):
+    """Declares/reads `nn.Dense`-compatible params (kernel [, bias])."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features),
+                            jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros_init(),
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
 def fused_conv_enabled(c_in: int, c_out: int) -> bool:
     """Fused inference conv pays off when the channel axes fill whole
     128-lane registers (measured on the 5-agent CorpBEVT forward:
