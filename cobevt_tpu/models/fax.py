@@ -407,6 +407,16 @@ class CrossViewSwapAttention(nn.Module):
             nq * self.q_win_size[0] * self.q_win_size[1], self.heads,
             n * self.feat_win_size[0] * self.feat_win_size[1],
             H, W, self.q_win_size, kh, kw_, self.feat_win_size)
+
+        def mlp_params(idx):
+            g, bta = LNParams(self.dim, name=f"prenorm_{idx}")()
+            w1, b1 = DenseParams(self.dim, 2 * self.dim, True,
+                                 name=f"mlp_{idx}_0")()
+            w2, b2 = DenseParams(2 * self.dim, self.dim, True,
+                                 name=f"mlp_{idx}_2")()
+            return {"ln": (g, bta), "w1": w1, "b1": b1, "w2": w2,
+                    "b2": b2}
+
         if use_fused:
             p = CrossWinAttentionParams(
                 self.dim, self.heads, self.dim_head, self.qkv_bias,
@@ -415,7 +425,8 @@ class CrossViewSwapAttention(nn.Module):
                 x, w_embed, c_embed if self.bev_embed_flag else None,
                 key, val, p, tuple(self.q_win_size),
                 tuple(self.feat_win_size), self.heads,
-                self.dim_head ** -0.5, add_skip=self.skip)
+                self.dim_head ** -0.5, add_skip=self.skip,
+                mlp=mlp_params(1))
         else:
             if self.bev_embed_flag:
                 bev_embed = w_embed[None, None] - \
@@ -435,9 +446,9 @@ class CrossViewSwapAttention(nn.Module):
                                       name="cross_win_attend_1")(
                                           qw, kw, vw, skip1)
             query = window_reverse(query)                 # (b, H, W, d)
-        query = query + mlp_seq(
-            layer_norm(dtype=self.dtype, name="prenorm_1")(query),
-            2 * self.dim, self.dim, self.dtype, "mlp_1")
+            query = query + mlp_seq(
+                layer_norm(dtype=self.dtype, name="prenorm_1")(query),
+                2 * self.dim, self.dim, self.dtype, "mlp_1")
 
         x_skip = query
 
@@ -448,6 +459,30 @@ class CrossViewSwapAttention(nn.Module):
         # attention outputs are identical, and the mean over n is the
         # identity.  Computing with a single copy is exact and cuts the
         # grid branch's q-side work n-fold.
+        use_fused_g = (not train) and fused_xattn_ok(
+            self.q_win_size[0] * self.q_win_size[1], self.heads,
+            n * self.feat_win_size[0] * self.feat_win_size[1],
+            H, W, self.q_win_size, kh, kw_, self.feat_win_size)
+        if use_fused_g:
+            # swap-attention: queries stay window-partitioned while keys
+            # ride the dilated grid — realized by factor-swapping the
+            # key/value layout once in XLA so grid cells become the
+            # contiguous windows the kernel's BlockSpecs deliver
+            p2 = CrossWinAttentionParams(
+                self.dim, self.heads, self.dim_head, self.qkv_bias,
+                query.shape[-1], name="cross_win_attend_2")()
+            k_t = rearrange(key, "b n (p q) (r s) d -> b n (q p) (s r) d",
+                            p=self.feat_win_size[0],
+                            r=self.feat_win_size[1])
+            v_t = rearrange(val, "b n (p q) (r s) d -> b n (q p) (s r) d",
+                            p=self.feat_win_size[0],
+                            r=self.feat_win_size[1])
+            return fused_cross_view_attention(
+                query, None, None, k_t, v_t, p2, tuple(self.q_win_size),
+                tuple(self.feat_win_size), self.heads,
+                self.dim_head ** -0.5, add_skip=self.skip,
+                mlp=mlp_params(2),
+                post_ln=LNParams(self.dim, name="postnorm")())
         qg = window_partition(query[:, None], *self.q_win_size)
         kg = grid_partition(key, *self.feat_win_size)
         vg = grid_partition(val, *self.feat_win_size)

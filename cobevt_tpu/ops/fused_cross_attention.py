@@ -84,9 +84,26 @@ def _packed_attn(q, k, v, n_heads):
     return out_un / norm
 
 
+def _erf_f32(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7 — far below
+    bf16 resolution); Mosaic has no erf primitive, but exp lowers."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(t):
+    """erf-form GELU on f32, matching torch nn.GELU default (not the
+    tanh approximation)."""
+    return 0.5 * t * (1.0 + _erf_f32(t * (2.0 ** -0.5)))
+
+
 def _kernel(x_ref, w_ref, c_ref, k_ref, v_ref, p_ref, o_ref, *,
             n_cam, wh, ww, kh, kw, n_heads, scale, add_skip, has_embed,
-            p_slices, C, compute_dtype):
+            has_mlp, has_post_ln, hidden, p_slices, C, compute_dtype):
     D = x_ref.shape[-1]
     X = x_ref.shape[2] // ww
     T_win = wh * ww
@@ -104,6 +121,14 @@ def _kernel(x_ref, w_ref, c_ref, k_ref, v_ref, p_ref, o_ref, *,
     wo = pget("wo")[:, :D]
     pb = pget("pbias")
     bqv, bkv, bvv, bo = pb[0, :C], pb[1, :C], pb[2, :C], pb[3, :D]
+    if has_mlp:
+        gm, bm = pget("ln_m")[0, :D], pget("ln_m")[1, :D]
+        w1 = pget("w1")[:, :hidden]
+        w2 = pget("w2")[:, :D]
+        mb = pget("mbias")
+        b1, b2 = mb[0, :hidden], mb[1, :D]
+    if has_post_ln:
+        gp, bp = pget("ln_p")[0, :D], pget("ln_p")[1, :D]
 
     for wx in range(X):
         xw = x_ref[0, :, wx * ww:(wx + 1) * ww, :]
@@ -161,14 +186,32 @@ def _kernel(x_ref, w_ref, c_ref, k_ref, v_ref, p_ref, o_ref, *,
             + bo[None, :]
         if add_skip:
             y = y + xt.astype(jnp.float32)
+
+        if has_mlp:
+            # token MLP: y + Dense2(gelu(Dense1(LN(y)))), matching
+            # mlp_seq + prenorm in models/fax.py
+            yc = y.astype(compute_dtype)
+            t = _ln_f32(yc, gm, bm).astype(compute_dtype)
+            hdn = lax.dot_general(t, w1, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32) \
+                + b1[None, :]
+            hdn = _gelu_exact(hdn).astype(compute_dtype)
+            m = lax.dot_general(hdn, w2, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) \
+                + b2[None, :]
+            y = yc.astype(jnp.float32) + m
+        if has_post_ln:
+            y = _ln_f32(y.astype(compute_dtype), gp, bp)
+
         o_ref[0, :, wx * ww:(wx + 1) * ww, :] = \
             y.reshape(wh, ww, D).astype(o_ref.dtype)
 
 
-def _pack_params(params, D, C, dtype):
-    """Stack every weight/bias row-wise into one (R, max(C,D)) operand so
+def _pack_params(params, D, C, dtype, mlp=None, post_ln=None):
+    """Stack every weight/bias row-wise into one (R, width) operand so
     the kernel takes a single resident VMEM ref."""
-    width = max(C, D)
+    hidden = mlp["w1"].shape[1] if mlp is not None else 0
+    width = max(C, D, hidden)
 
     def row(vec, w):
         return jnp.pad(vec.astype(dtype).reshape(1, -1),
@@ -198,12 +241,23 @@ def _pack_params(params, D, C, dtype):
     add("pbias", jnp.concatenate(
         [row(params["bq"], C), row(params["bk"], C), row(params["bv"], C),
          row(params["bo"], D)], 0))
+    if mlp is not None:
+        add("ln_m", jnp.concatenate([row(mlp["ln"][0], D),
+                                     row(mlp["ln"][1], D)], 0))
+        add("w1", mat(mlp["w1"]))
+        add("w2", mat(mlp["w2"]))
+        add("mbias", jnp.concatenate([row(mlp["b1"], hidden),
+                                      row(mlp["b2"], D)], 0))
+    if post_ln is not None:
+        add("ln_p", jnp.concatenate([row(post_ln[0], D),
+                                     row(post_ln[1], D)], 0))
     packed = jnp.concatenate(rows, axis=0)
     return packed, slices
 
 
 def _xla_composite(x, w_embed, c_embed, key, val, params, q_win, k_win,
-                   n_heads, scale, add_skip, compute_dtype):
+                   n_heads, scale, add_skip, compute_dtype,
+                   mlp=None, post_ln=None):
     """Stock-math fallback, mirroring models/fax.py CrossWinAttention."""
     B, H, W, D = x.shape
     n = key.shape[1]
@@ -269,6 +323,19 @@ def _xla_composite(x, w_embed, c_embed, key, val, params, q_win, k_win,
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, D)
     if add_skip:
         out = out + x.astype(jnp.float32)
+    out = out.astype(x.dtype)
+
+    if mlp is not None:
+        t = ln(out, mlp["ln"][0], mlp["ln"][1])
+        h_ = t @ mlp["w1"].astype(compute_dtype) + \
+            mlp["b1"].astype(jnp.float32)
+        h_ = (0.5 * h_ * (1.0 + lax.erf(h_ * (2.0 ** -0.5)))) \
+            .astype(compute_dtype)
+        m = h_ @ mlp["w2"].astype(compute_dtype) + \
+            mlp["b2"].astype(jnp.float32)
+        out = (out.astype(jnp.float32) + m).astype(x.dtype)
+    if post_ln is not None:
+        out = ln(out, post_ln[0], post_ln[1])
     return out.astype(x.dtype)
 
 
@@ -278,6 +345,7 @@ def _xla_composite(x, w_embed, c_embed, key, val, params, q_win, k_win,
 def fused_cross_view_attention(x, w_embed, c_embed, key, val, params,
                                q_win, k_win, n_heads: int, scale: float,
                                add_skip: bool = True,
+                               mlp=None, post_ln=None,
                                use_pallas: bool = True,
                                interpret: bool = False):
     """One FAX local-branch stage, fully fused.
@@ -291,6 +359,11 @@ def fused_cross_view_attention(x, w_embed, c_embed, key, val, params,
     (dim_head**-0.5), applied after the biased projection exactly like
     the stock path.  Returns (B, H, W, D) in x's dtype.
 
+    Optional tail fusions: `mlp` = {ln: (g, b), w1, b1, w2, b2} applies
+    the stage's token MLP (prenorm -> Dense -> exact GELU -> Dense ->
+    residual) in the same program; `post_ln` = (g, b) applies a final
+    LayerNorm (the stage postnorm).
+
     Matches models/fax.py CrossWinAttention + query build + camera mean
     + skip (reference fax_modules.py:179-259) at bf16 tolerance."""
     B, H, W, D = x.shape
@@ -303,10 +376,11 @@ def fused_cross_view_attention(x, w_embed, c_embed, key, val, params,
                           and not interpret):
         return _xla_composite(x, w_embed, c_embed, key, val, params,
                               q_win, k_win, n_heads, scale, add_skip,
-                              compute_dtype)
+                              compute_dtype, mlp, post_ln)
 
     C = params["wq"].shape[1]
-    packed, slices = _pack_params(params, D, C, compute_dtype)
+    packed, slices = _pack_params(params, D, C, compute_dtype, mlp,
+                                  post_ln)
 
     has_embed = w_embed is not None
     if not has_embed:
@@ -322,8 +396,10 @@ def fused_cross_view_attention(x, w_embed, c_embed, key, val, params,
     kernel = functools.partial(
         _kernel, n_cam=n_cam, wh=wh, ww=ww, kh=kh, kw=kw,
         n_heads=n_heads, scale=scale, add_skip=add_skip,
-        has_embed=has_embed, p_slices=slices, C=C,
-        compute_dtype=compute_dtype)
+        has_embed=has_embed, has_mlp=mlp is not None,
+        has_post_ln=post_ln is not None,
+        hidden=mlp["w1"].shape[1] if mlp is not None else 0,
+        p_slices=slices, C=C, compute_dtype=compute_dtype)
 
     grid = (B, H // wh)
     return pl.pallas_call(

@@ -46,12 +46,29 @@ def _setup(B=2, n=4, H=32, W=32, D=128, C=128, h=16, w=16, seed=0):
 
 @pytest.mark.parametrize("embed", [True, False])
 @pytest.mark.parametrize("add_skip", [True, False])
-def test_kernel_matches_composite(embed, add_skip):
+@pytest.mark.parametrize("tail", [False, True])
+def test_kernel_matches_composite(embed, add_skip, tail):
     x, wemb, cemb, key, val, params = _setup()
+    rng = np.random.RandomState(7)
+    D, hidden = 128, 256
+    mlp = post_ln = None
+    if tail:
+        mlp = {"ln": (jnp.asarray(rng.rand(D) + 0.5, jnp.float32),
+                      jnp.asarray(rng.randn(D) * 0.1, jnp.float32)),
+               "w1": jnp.asarray(rng.randn(D, hidden) * 0.05,
+                                 jnp.float32),
+               "b1": jnp.asarray(rng.randn(hidden) * 0.1, jnp.float32),
+               "w2": jnp.asarray(rng.randn(hidden, D) * 0.05,
+                                 jnp.float32),
+               "b2": jnp.asarray(rng.randn(D) * 0.1, jnp.float32)}
+        post_ln = (jnp.asarray(rng.rand(D) + 0.5, jnp.float32),
+                   jnp.asarray(rng.randn(D) * 0.1, jnp.float32))
     args = (x, wemb if embed else None, cemb if embed else None,
             key, val, params, (8, 8), (4, 4), 4, 32.0 ** -0.5, add_skip)
-    got = fused_cross_view_attention(*args, interpret=True)
-    want = _xla_composite(*args[:-1], add_skip, jnp.float32)
+    got = fused_cross_view_attention(*args, mlp=mlp, post_ln=post_ln,
+                                     interpret=True)
+    want = _xla_composite(*args[:-1], add_skip, jnp.float32, mlp,
+                          post_ln)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
 
