@@ -320,8 +320,6 @@ def fused_xattn_ok(n_q_tokens: int, heads: int, n_k_tokens: int,
     if (H // q_win[0]) != (h // k_win[0]) or \
             (W // q_win[1]) != (w // k_win[1]):
         return False
-    if k_win[1] % 8:
-        return False
     sim_bytes = n_q_tokens * heads * n_k_tokens * 4
     return sim_bytes <= 4 * 2 ** 20
 
