@@ -214,7 +214,9 @@ class EfficientNetExtractor(nn.Module):
 
         results = [x]                       # group 0 = stem = reduction_1
         Block = MBConvBlock
-        if self.remat:
+        if self.remat and train:
+            # remat trades FLOPs for activation memory in the backward
+            # pass; at inference it only inserts fusion barriers
             Block = nn.remat(MBConvBlock, static_argnums=(2,))
         for gi in range(1, idx_max + 1):
             _, (lo, hi) = bounds[gi]
