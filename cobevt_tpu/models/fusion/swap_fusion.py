@@ -23,10 +23,33 @@ import jax.numpy as jnp
 import numpy as np
 from einops import rearrange
 
-from cobevt_tpu.nn.layers import gelu, layer_norm
+from cobevt_tpu.nn.layers import DenseParams, LNParams, gelu, layer_norm
+from cobevt_tpu.ops.fused_swap_fusion import (
+    _pack_layer_params,
+    fused_swap_fusion,
+)
 from cobevt_tpu.ops.window_attention import fused_window_attention_packed
 
 NEG_INF = -1e9
+
+
+def expand_bias_flat(table, agent_size, window_size, l, w1, w2):
+    """Expand the (table_size, heads) Toeplitz table to the flat
+    (T, heads*T) bias the packed kernels take (see FusionAttention)."""
+    heads = table.shape[-1]
+    T = l * w1 * w2
+    t4 = table.reshape(2 * agent_size - 1, 2 * window_size - 1,
+                       2 * window_size - 1, heads).astype(jnp.float32)
+    ohl = jnp.asarray(_rel_onehot_1d(l, agent_size))
+    ohy = jnp.asarray(_rel_onehot_1d(w1, window_size))
+    ohx = jnp.asarray(_rel_onehot_1d(w2, window_size))
+    tmp = jnp.einsum("defh,uvf->dehuv", t4, ohx)
+    tmp = jnp.einsum("dehuv,rse->dhrsuv", tmp, ohy)
+    # emit the packed-kernel flat layout (row token (p,r,u); column block
+    # h holding tokens (q,s,v)) directly — reshaping this einsum output
+    # is free, where the (T, T, heads) order needed a real transpose
+    bias = jnp.einsum("dhrsuv,pqd->pruhqsv", tmp, ohl)
+    return bias.reshape(T, heads * T)
 
 
 @functools.lru_cache(maxsize=None)
@@ -100,19 +123,8 @@ class FusionAttention(nn.Module):
         # 1.2 ms/frame across the 3-block fusion stack).  The agent
         # factor keeps the full-table offsets so agent-count bucketing
         # (l < agent_size) stays exact.
-        t4 = table.reshape(2 * self.agent_size - 1,
-                           2 * self.window_size - 1,
-                           2 * self.window_size - 1,
-                           heads).astype(jnp.float32)
-        ohl = jnp.asarray(_rel_onehot_1d(l, self.agent_size))
-        ohy = jnp.asarray(_rel_onehot_1d(w1, self.window_size))
-        ohx = jnp.asarray(_rel_onehot_1d(w2, self.window_size))
-        tmp = jnp.einsum("defh,uvf->dehuv", t4, ohx)
-        tmp = jnp.einsum("dehuv,rse->dhrsuv", tmp, ohy)
-        bias = jnp.einsum("dhrsuv,pqd->pruqsvh", tmp, ohl)
-        # flat layout for the packed kernel: (T, heads*T)
-        bias_flat = bias.reshape(T, T, heads).transpose(0, 2, 1).reshape(
-            T, heads * T)
+        bias_flat = expand_bias_flat(table, self.agent_size,
+                                     self.window_size, l, w1, w2)
 
         key_mask = None
         if mask is not None:
@@ -246,9 +258,109 @@ class SwapFusionBlock(nn.Module):
         return rearrange(xg, "b l x y w1 w2 d -> b l (w1 x) (w2 y) d")
 
 
+class _FusionAttnFnParams(nn.Module):
+    """Parameter mirror of FusionAttention (to_qkv / bias table /
+    to_out_0) for the monolithic fused kernel."""
+
+    dim: int
+    heads: int
+    table_size: int
+
+    @nn.compact
+    def __call__(self):
+        wqkv, _ = DenseParams(self.dim, 3 * self.dim, False,
+                              name="to_qkv")()
+        table = nn.Embed(self.table_size, self.heads,
+                         name="relative_position_bias_table")(
+            jnp.arange(self.table_size))
+        wout, _ = DenseParams(self.dim, self.dim, False,
+                              name="to_out_0")()
+        return wqkv, table, wout
+
+
+class _FFDFnParams(nn.Module):
+    dim: int
+    mlp_dim: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = DenseParams(self.dim, self.mlp_dim, True, name="net_0")()
+        w2, b2 = DenseParams(self.mlp_dim, self.dim, True,
+                             name="net_3")()
+        return w1, b1, w2, b2
+
+
+class _PreNormAttnParams(nn.Module):
+    dim: int
+    heads: int
+    table_size: int
+
+    @nn.compact
+    def __call__(self):
+        g, b = LNParams(self.dim, name="norm")()
+        wqkv, table, wout = _FusionAttnFnParams(
+            self.dim, self.heads, self.table_size, name="fn")()
+        return (g, b), wqkv, table, wout
+
+
+class _PreNormFFDParams(nn.Module):
+    dim: int
+    mlp_dim: int
+
+    @nn.compact
+    def __call__(self):
+        g, b = LNParams(self.dim, name="norm")()
+        w1, b1, w2, b2 = _FFDFnParams(self.dim, self.mlp_dim,
+                                      name="fn")()
+        return (g, b), w1, b1, w2, b2
+
+
+class _SwapBlockParams(nn.Module):
+    """Mirror of one SwapFusionBlock's parameter tree; returns the
+    (win_params, grid_params) dicts `_pack_layer_params` expects plus
+    the two bias tables."""
+
+    input_dim: int
+    mlp_dim: int
+    heads: int
+    table_size: int
+    masked: bool
+
+    @nn.compact
+    def __call__(self):
+        if self.masked:
+            names = ("window_attention", "window_ffd",
+                     "grid_attention", "grid_ffd")
+        else:
+            names = ("block_1", "block_2", "block_5", "block_6")
+        out = []
+        tables = []
+        for attn_name, ffd_name in ((names[0], names[1]),
+                                    (names[2], names[3])):
+            ln_a, wqkv, table, wout = _PreNormAttnParams(
+                self.input_dim, self.heads, self.table_size,
+                name=attn_name)()
+            ln_f, w1, b1, w2, b2 = _PreNormFFDParams(
+                self.input_dim, self.mlp_dim, name=ffd_name)()
+            out.append({"ln_a": ln_a, "wqkv": wqkv, "wout": wout,
+                        "ln_f": ln_f, "w1": w1, "b1": b1, "w2": w2,
+                        "b2": b2})
+            tables.append(table)
+        return out[0], out[1], tables
+
+
+def _fused_fusion_mode() -> str:
+    import os
+    return os.environ.get("COBEVT_FUSED_FUSION", "1")
+
+
 class SwapFusionEncoder(nn.Module):
     """depth x SwapFusionBlock, then mean-pool over agents + LN + Linear
-    head (reference swap_fusion_modules.py:233)."""
+    head (reference swap_fusion_modules.py:233).
+
+    Inference on TPU runs the whole stack as ONE Pallas program with the
+    BEV state resident in VMEM (`ops/fused_swap_fusion.py`); training and
+    off-TPU keep the stock modules (identical parameter tree)."""
 
     input_dim: int = 128
     mlp_dim: int = 256
@@ -272,6 +384,20 @@ class SwapFusionEncoder(nn.Module):
         (only used when mean_over_valid).  Returns fused (B, H, W, d)."""
         if not self.mask:
             mask = None
+
+        mode = _fused_fusion_mode()
+        B, L, H, W, d = x.shape
+        w = self.window_size
+        T = L * w * w
+        heads = self.input_dim // self.dim_head
+        fits = (H % w == 0 and W % w == 0
+                and T * heads * T * 4 <= int(2.5 * 2 ** 20)
+                and L * H * W * d * 2 <= int(2.5 * 2 ** 20))
+        if (not train) and fits and mode != "0" and \
+                (jax.default_backend() == "tpu" or mode == "force"):
+            return self._fused_eval(x, mask, agent_mask,
+                                    interpret=mode == "force")
+
         for i in range(self.depth):
             x = SwapFusionBlock(self.input_dim, self.mlp_dim, self.dim_head,
                                 self.window_size, self.agent_size,
@@ -287,3 +413,61 @@ class SwapFusionEncoder(nn.Module):
         x = layer_norm(dtype=self.dtype, name="mlp_head_2")(x)
         return nn.Dense(self.input_dim, dtype=self.dtype,
                         name="mlp_head_3")(x)
+
+    def _fused_eval(self, x, mask, agent_mask, interpret=False):
+        B, L, H, W, d = x.shape
+        w = self.window_size
+        T = L * w * w
+        heads = self.input_dim // self.dim_head
+        table_size = ((2 * self.agent_size - 1) * (2 * w - 1)
+                      * (2 * w - 1))
+        dtype = x.dtype
+
+        layers = []
+        biases = []
+        for i in range(self.depth):
+            win_p, grid_p, tables = _SwapBlockParams(
+                self.input_dim, self.mlp_dim, heads, table_size,
+                self.mask, name=f"layers_{i}")()
+            layers.append((win_p, grid_p))
+            biases.append(jnp.stack(
+                [expand_bias_flat(t, self.agent_size, w, L, w, w)
+                 for t in tables], 0))
+        bias_stack = jnp.stack(biases, 0)          # (depth, 2, T, hT)
+
+        layer_params, p_slices = _pack_layer_params(
+            layers, self.input_dim, self.mlp_dim, dtype)
+
+        g_h, b_h = LNParams(self.input_dim, name="mlp_head_2")()
+        w_h, bias_h = DenseParams(self.input_dim, self.input_dim, True,
+                                  name="mlp_head_3")()
+        head_params = jnp.concatenate(
+            [g_h.reshape(1, -1), b_h.reshape(1, -1),
+             w_h, bias_h.reshape(1, -1)], 0).astype(dtype)
+
+        # additive key-mask rows per half, window-major
+        if mask is not None:
+            def half_mask(m, pattern):
+                mm = rearrange(m, pattern, w1=w, w2=w)
+                add = jnp.where(mm > 0, 0.0, NEG_INF).astype(jnp.float32)
+                return jnp.tile(add, (1, 1, heads))
+            mask_add = jnp.stack([
+                half_mask(mask, "b l (x w1) (y w2) -> b (x y) (l w1 w2)"),
+                half_mask(mask, "b l (w1 x) (w2 y) -> b (x y) (l w1 w2)"),
+            ], 1)                                   # (B, 2, XY, h*T)
+        else:
+            n_win = (H // w) * (W // w)
+            mask_add = jnp.zeros((B, 2, n_win, heads * T), jnp.float32)
+
+        am = (agent_mask if agent_mask is not None
+              else jnp.ones((B, L), jnp.float32))
+        am8 = jnp.broadcast_to(
+            am.astype(jnp.float32)[:, None, :], (B, 8, L))
+
+        return fused_swap_fusion(
+            x.astype(dtype), mask_add, am8, bias_stack, layer_params,
+            head_params, window=w, heads=heads, mlp=self.mlp_dim,
+            p_slices=p_slices,
+            mean_over_valid=(self.mean_over_valid
+                             and agent_mask is not None),
+            interpret=interpret)
