@@ -81,6 +81,14 @@ def main():
             "unit": "frames/s",
             "vs_baseline": round((1.0 / dt_c) / 30.0, 3),
         }), file=sys.stderr)
+        # BASELINE.md tracked metric: multi-agent fusion p50 latency
+        # (median per-frame latency of the full cooperative forward)
+        print(json.dumps({
+            "metric": "corpbevt_5agent_fusion_p50_latency_ms",
+            "value": round(dt_c * 1000.0, 3),
+            "unit": "ms",
+            "vs_baseline": round((1000.0 / 30.0) / (dt_c * 1000.0), 3),
+        }), file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"corpbevt secondary bench failed: {e}", file=sys.stderr)
 
