@@ -84,6 +84,25 @@ class ConvKernelParams(nn.Module):
             (k, k, self.in_features, self.features), jnp.float32)
 
 
+class BiasedConvParams(nn.Module):
+    """Declares/reads an `nn.Conv`-compatible kernel + bias without
+    computing (the fused-kernel mirror for biased 1x1 convs)."""
+
+    kernel_size: int
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class BNParams(nn.Module):
     """Declares/reads `nn.BatchNorm`-compatible variables without
     computing (params scale/bias; batch_stats mean/var) — the fused
