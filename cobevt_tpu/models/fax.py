@@ -36,7 +36,6 @@ from cobevt_tpu.nn.layers import (
     DenseParams,
     LNParams,
     batch_norm,
-    gelu,
     layer_norm,
     mlp_seq,
     pixel_unshuffle,

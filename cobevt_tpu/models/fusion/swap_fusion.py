@@ -15,7 +15,7 @@ the canonical mask is (B, L, H, W) (reference uses (B, H, W, 1, L)).
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

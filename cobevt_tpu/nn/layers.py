@@ -21,7 +21,7 @@ MXU without layout transposes.
 from __future__ import annotations
 
 import os
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -34,8 +34,6 @@ training / off-TPU); numerics equal the stock path at bf16 tolerance.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax
