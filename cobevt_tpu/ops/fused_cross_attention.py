@@ -337,33 +337,9 @@ def _xla_composite(x, w_embed, c_embed, key, val, params, q_win, k_win,
     return out.astype(x.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("q_win", "k_win", "n_heads", "scale",
-                              "add_skip", "use_pallas", "interpret"))
-def fused_cross_view_attention(x, w_embed, c_embed, key, val, params,
-                               q_win, k_win, n_heads: int, scale: float,
-                               add_skip: bool = True,
-                               mlp=None, post_ln=None,
-                               use_pallas: bool = True,
-                               interpret: bool = False):
-    """One FAX local-branch stage, fully fused.
-
-    x: (B, H, W, D) BEV state; w_embed: (H, W, D) world embedding or
-    None; c_embed: (B, n, D) camera-center embedding or None (both or
-    neither — None means the query is x alone, the stage-1/2 case);
-    key/val: (B, n, h, w, D) raw per-camera tensors (pre-LayerNorm);
-    params: dict with ln_q/ln_k/ln_v = (gamma, beta), wq/wk/wv (D, C),
-    bq/bk/bv (C,), wo (C, D), bo (D,).  scale is the q multiplier
-    (dim_head**-0.5), applied after the biased projection exactly like
-    the stock path.  Returns (B, H, W, D) in x's dtype.
-
-    Optional tail fusions: `mlp` = {ln: (g, b), w1, b1, w2, b2} applies
-    the stage's token MLP (prenorm -> Dense -> exact GELU -> Dense ->
-    residual) in the same program; `post_ln` = (g, b) applies a final
-    LayerNorm (the stage postnorm).
-
-    Matches models/fax.py CrossWinAttention + query build + camera mean
-    + skip (reference fax_modules.py:179-259) at bf16 tolerance."""
+def _forward_impl(x, w_embed, c_embed, key, val, params, mlp, post_ln,
+                  q_win, k_win, n_heads, scale, add_skip, use_pallas,
+                  interpret):
     B, H, W, D = x.shape
     n_cam = key.shape[1]
     wh, ww = q_win
@@ -430,3 +406,68 @@ def fused_cross_view_attention(x, w_embed, c_embed, key, val, params,
         interpret=interpret,
     )(x, w_embed, c_embed.astype(compute_dtype),
       key.astype(compute_dtype), val.astype(compute_dtype), packed)
+
+
+# Differentiable wrapper: fused Pallas forward, backward by
+# differentiating the exact XLA composite (flash-attention style —
+# nothing large is saved, the chain is recomputed).  The fused region
+# contains no dropout or batch statistics, so the same program serves
+# training and inference.
+_fused_cva = jax.custom_vjp(_forward_impl,
+                            nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+
+
+def _cva_fwd(x, w_embed, c_embed, key, val, params, mlp, post_ln,
+             *statics):
+    out = _forward_impl(x, w_embed, c_embed, key, val, params, mlp,
+                        post_ln, *statics)
+    return out, (x, w_embed, c_embed, key, val, params, mlp, post_ln)
+
+
+def _cva_bwd(q_win, k_win, n_heads, scale, add_skip, use_pallas,
+             interpret, res, g):
+    def composite(x, w_embed, c_embed, key, val, params, mlp, post_ln):
+        return _xla_composite(x, w_embed, c_embed, key, val, params,
+                              q_win, k_win, n_heads, scale, add_skip,
+                              x.dtype, mlp, post_ln)
+
+    _, vjp = jax.vjp(composite, *res)
+    return vjp(g)
+
+
+_fused_cva.defvjp(_cva_fwd, _cva_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_win", "k_win", "n_heads", "scale",
+                              "add_skip", "use_pallas", "interpret"))
+def fused_cross_view_attention(x, w_embed, c_embed, key, val, params,
+                               q_win, k_win, n_heads: int, scale: float,
+                               add_skip: bool = True,
+                               mlp=None, post_ln=None,
+                               use_pallas: bool = True,
+                               interpret: bool = False):
+    """One FAX local-branch stage, fully fused.
+
+    x: (B, H, W, D) BEV state; w_embed: (H, W, D) world embedding or
+    None; c_embed: (B, n, D) camera-center embedding or None (both or
+    neither — None means the query is x alone, the stage-1/2 case);
+    key/val: (B, n, h, w, D) raw per-camera tensors (pre-LayerNorm);
+    params: dict with ln_q/ln_k/ln_v = (gamma, beta), wq/wk/wv (D, C),
+    bq/bk/bv (C,), wo (C, D), bo (D,).  scale is the q multiplier
+    (dim_head**-0.5), applied after the biased projection exactly like
+    the stock path.  Returns (B, H, W, D) in x's dtype.
+
+    Optional tail fusions: `mlp` = {ln: (g, b), w1, b1, w2, b2} applies
+    the stage's token MLP (prenorm -> Dense -> exact GELU -> Dense ->
+    residual) in the same program; `post_ln` = (g, b) applies a final
+    LayerNorm (the stage postnorm).
+
+    Differentiable: forward runs the Pallas program on TPU, backward
+    recomputes the composite in XLA (the region is dropout- and
+    BN-free, so training uses the fused path too).  Matches
+    models/fax.py CrossWinAttention + query build + camera mean + skip
+    (reference fax_modules.py:179-259) at bf16 tolerance."""
+    return _fused_cva(x, w_embed, c_embed, key, val, params, mlp,
+                      post_ln, q_win, k_win, n_heads, scale, add_skip,
+                      use_pallas, interpret)
