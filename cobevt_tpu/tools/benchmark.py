@@ -22,7 +22,8 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser("cobevt_tpu benchmark")
     p.add_argument("--model", default="corpbevt",
-                   choices=["corpbevt", "sinbevt_nuscenes"])
+                   choices=["corpbevt", "sinbevt_nuscenes",
+                            "pointpillar"])
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--bf16", action="store_true", default=True)
@@ -87,6 +88,48 @@ def build_sinbevt_nuscenes(bf16, _):
     return model, batch, "image"
 
 
+def build_pointpillar(bf16, max_cav):
+    """Cooperative LiDAR flagship: 5-agent PointPillar + FuseBEVT at
+    production scale (8000 pillars x 32 points per agent, 0.4m voxels,
+    +/-70.4 x +/-38.4 m range -> 352x192 grid; the lateral range keeps
+    the stride-2 fused map window-divisible)."""
+    import jax.numpy as jnp
+
+    from cobevt_tpu.models.lidar.point_pillar_models import (
+        PointPillarConfig,
+        PointPillarFuseBEVT,
+    )
+
+    cfg = PointPillarConfig(
+        max_cav=max_cav,
+        point_cloud_range=(-70.4, -38.4, -3, 70.4, 38.4, 1))
+    model = PointPillarFuseBEVT(cfg, dtype=jnp.bfloat16 if bf16 else None)
+    rng = np.random.RandomState(0)
+    B, L, N, P = 1, max_cav, cfg.max_voxels, cfg.max_points_per_voxel
+    nx, ny, _ = cfg.grid_size
+
+    pts = rng.rand(B, L, N, P, 4).astype(np.float32)
+    pr = cfg.point_cloud_range
+    pts[..., 0] = pts[..., 0] * (pr[3] - pr[0]) + pr[0]
+    pts[..., 1] = pts[..., 1] * (pr[4] - pr[1]) + pr[1]
+    pts[..., 2] = pts[..., 2] * (pr[5] - pr[2]) + pr[2]
+    coords = np.zeros((B, L, N, 4), np.int32)
+    coords[..., 2] = rng.randint(0, ny, (B, L, N))
+    coords[..., 3] = rng.randint(0, nx, (B, L, N))
+    batch = {
+        "voxel_features": jnp.asarray(pts),
+        "voxel_num_points": jnp.asarray(
+            rng.randint(1, P + 1, (B, L, N)).astype(np.int32)),
+        "voxel_coords": jnp.asarray(coords),
+        "voxel_mask": jnp.asarray(
+            (rng.rand(B, L, N) < 0.8).astype(np.float32)),
+        "transformation_matrix": jnp.asarray(
+            np.tile(np.eye(4, dtype=np.float32), (B, L, 1, 1))),
+        "agent_mask": jnp.ones((B, L), jnp.float32),
+    }
+    return model, batch, "voxel_features"
+
+
 def main():
     opt = parse_args()
     import jax
@@ -95,7 +138,8 @@ def main():
                       "/root/repo/.jax_cache")
 
     builder = {"corpbevt": build_corpbevt,
-               "sinbevt_nuscenes": build_sinbevt_nuscenes}[opt.model]
+               "sinbevt_nuscenes": build_sinbevt_nuscenes,
+               "pointpillar": build_pointpillar}[opt.model]
     model, batch, chain_key = builder(opt.bf16, opt.max_cav)
 
     variables = jax.jit(model.init, static_argnums=2)(
