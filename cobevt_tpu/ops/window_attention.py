@@ -255,15 +255,40 @@ def _head_expander(n_heads, C):
     return (row == col_head).astype(jnp.float32)
 
 
-def _packed_body(q, k, v, bias, mask, weight, n_heads, o_ref):
-    Tk, C = k.shape
-    HTk = n_heads * Tk
-    tiled_k = jnp.concatenate([k] * n_heads, axis=0)       # (H*Tk, C)
-    tiled_v = jnp.concatenate([v] * n_heads, axis=0)
-    bm = _head_blockmask(n_heads, Tk, C, tiled_k.dtype)
-    k_bd = tiled_k * bm
-    v_bd = tiled_v * bm
+def _packed_kernel(q_ref, k_ref, v_ref, *rest, n_heads, tq_blk,
+                   has_bias, has_mask, has_weight):
+    """One query block of one (window) group.  The block-diagonal K/V
+    are staged in scratch once per group (program_id(1) == 0) — the
+    tile+mask build costs ~2x the K/V bytes in VMEM traffic, and
+    rebuilding it per query block dominated large-Tq cases (measured
+    ~40% of the cooperative-LiDAR fusion kernel).  The bias rides as a
+    full resident block sliced per query block, not a per-step DMA."""
+    it = iter(rest)
+    b_ref = next(it) if has_bias else None
+    m_ref = next(it) if has_mask else None
+    w_ref = next(it) if has_weight else None
+    o_ref = next(it)
+    kbd_ref = next(it)
+    vbd_ref = next(it)
 
+    Tk, C = k_ref.shape[1], k_ref.shape[2]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        bm = _head_blockmask(n_heads, Tk, C, k_ref.dtype)
+        kbd_ref[...] = jnp.concatenate([k_ref[0]] * n_heads, axis=0) * bm
+        vbd_ref[...] = jnp.concatenate([v_ref[0]] * n_heads, axis=0) * bm
+
+    t = pl.program_id(1)
+    bias = (b_ref[pl.ds(t * tq_blk, tq_blk), :] if has_bias else None)
+    mask = m_ref[0] if has_mask else None
+    weight = w_ref[0] if has_weight else None
+    _packed_body(q_ref[0], kbd_ref[...], vbd_ref[...], bias, mask,
+                 weight, n_heads, Tk, o_ref)
+
+
+def _packed_body(q, k_bd, v_bd, bias, mask, weight, n_heads, Tk, o_ref):
+    C = k_bd.shape[-1]
     sim = jax.lax.dot_general(
         q, k_bd, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                # (tq, H*Tk)
@@ -300,38 +325,6 @@ def _packed_body(q, k, v, bias, mask, weight, n_heads, o_ref):
     norm = jnp.dot(s_h, _head_expander(n_heads, C),
                    preferred_element_type=jnp.float32)     # (tq, C)
     o_ref[0] = (out_un / norm).astype(o_ref.dtype)
-
-
-def _packed_kernel_plain(n_heads, q_ref, k_ref, v_ref, o_ref):
-    _packed_body(q_ref[0], k_ref[0], v_ref[0], None, None, None, n_heads,
-                 o_ref)
-
-
-def _packed_kernel_bias(n_heads, q_ref, k_ref, v_ref, b_ref, o_ref):
-    _packed_body(q_ref[0], k_ref[0], v_ref[0], b_ref[:], None, None,
-                 n_heads, o_ref)
-
-
-def _packed_kernel_mask(n_heads, q_ref, k_ref, v_ref, m_ref, o_ref):
-    _packed_body(q_ref[0], k_ref[0], v_ref[0], None, m_ref[0], None,
-                 n_heads, o_ref)
-
-
-def _packed_kernel_bias_mask(n_heads, q_ref, k_ref, v_ref, b_ref, m_ref,
-                             o_ref):
-    _packed_body(q_ref[0], k_ref[0], v_ref[0], b_ref[:], m_ref[0], None,
-                 n_heads, o_ref)
-
-
-def _packed_kernel_bias_weight(n_heads, q_ref, k_ref, v_ref, b_ref, w_ref,
-                               o_ref):
-    _packed_body(q_ref[0], k_ref[0], v_ref[0], b_ref[:], None, w_ref[0],
-                 n_heads, o_ref)
-
-
-def _packed_kernel_weight(n_heads, q_ref, k_ref, v_ref, w_ref, o_ref):
-    _packed_body(q_ref[0], k_ref[0], v_ref[0], None, None, w_ref[0],
-                 n_heads, o_ref)
 
 
 def _packed_to_4d(t, n_heads):
@@ -392,7 +385,7 @@ def _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
     # VMEM budget per query block: sim f32 + e (+ double-buffered bias
     # f32 / weight blocks when present); Mosaic's scoped vmem limit is
     # 16MB, leave headroom for k/v/tiled block-diag buffers
-    budget = 8 * 1024 * 1024
+    budget = 6 * 1024 * 1024
     per_row = HTk * (4 + 2
                      + (8 if bias_flat is not None else 0)
                      + (2 * 2 if weight is not None else 0))
@@ -427,37 +420,27 @@ def _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
 
     assert weight is None or mask is None, \
         "weight+mask combination not implemented"
-    weight_spec = pl.BlockSpec((1, tq_blk, HTk), lambda g, t: (g, t, 0),
-                               memory_space=pltpu.VMEM)
-    if bias_flat is not None and mask is not None:
-        kernel = functools.partial(_packed_kernel_bias_mask, n_heads)
-        in_specs += [
-            pl.BlockSpec((tq_blk, HTk), lambda g, t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, HTk), lambda g, t: (g, 0, 0),
-                         memory_space=pltpu.VMEM)]
-        args += [bias_flat.astype(jnp.float32), mask8(mask)]
-    elif bias_flat is not None and weight is not None:
-        kernel = functools.partial(_packed_kernel_bias_weight, n_heads)
-        in_specs += [pl.BlockSpec((tq_blk, HTk), lambda g, t: (t, 0),
-                                  memory_space=pltpu.VMEM), weight_spec]
-        args += [bias_flat.astype(jnp.float32), weight]
-    elif weight is not None:
-        kernel = functools.partial(_packed_kernel_weight, n_heads)
-        in_specs += [weight_spec]
-        args += [weight]
-    elif bias_flat is not None:
-        kernel = functools.partial(_packed_kernel_bias, n_heads)
-        in_specs += [pl.BlockSpec((tq_blk, HTk), lambda g, t: (t, 0),
-                                  memory_space=pltpu.VMEM)]
-        args += [bias_flat.astype(jnp.float32)]
-    elif mask is not None:
-        kernel = functools.partial(_packed_kernel_mask, n_heads)
-        in_specs += [pl.BlockSpec((1, 8, HTk), lambda g, t: (g, 0, 0),
-                                  memory_space=pltpu.VMEM)]
-        args += [mask8(mask)]
-    else:
-        kernel = functools.partial(_packed_kernel_plain, n_heads)
+    if bias_flat is not None:
+        # whole bias resident (constant block index), sliced per query
+        # block in-kernel — a per-(g, t) block spec re-DMAs it every
+        # grid step since t cycles fastest
+        in_specs.append(pl.BlockSpec((Tq, HTk), lambda g, t: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias_flat.astype(jnp.float32))
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, 8, HTk), lambda g, t: (g, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask8(mask))
+    if weight is not None:
+        in_specs.append(pl.BlockSpec((1, tq_blk, HTk),
+                                     lambda g, t: (g, t, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(weight)
+
+    kernel = functools.partial(
+        _packed_kernel, n_heads=n_heads, tq_blk=tq_blk,
+        has_bias=bias_flat is not None, has_mask=mask is not None,
+        has_weight=weight is not None)
 
     flops = 2 * G * Tq * HTk * C * 2
     out = pl.pallas_call(
@@ -467,6 +450,8 @@ def _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
         out_specs=pl.BlockSpec((1, tq_blk, C), lambda g, t: (g, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, Tq, C), q.dtype),
+        scratch_shapes=[pltpu.VMEM((HTk, C), k.dtype),
+                        pltpu.VMEM((HTk, C), v.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(q.size + k.size + v.size) * 2 + q.size * 2,
@@ -552,7 +537,30 @@ def fused_window_attention_packed(q, k, v, n_heads: int, bias_flat=None,
     Dropout-after-Softmax semantics) or None.
     Returns (G, Tq, H*D) in q's dtype.  Differentiable (backward
     recomputes attention in XLA; the saved weight is reused so dropout
-    is consistent across fwd/bwd)."""
+    is consistent across fwd/bwd).
+
+    Heads are grouped into 128-channel chunks: the block-diagonal
+    trick's cost scales with (heads x group_channels), so running
+    H=8/D=32 as one group does 2x the MXU work of two H=4 groups at
+    identical utilization (measured 2.9 -> 1.5 ms per attention on the
+    cooperative-LiDAR fusion).  Groups are independent heads — the
+    same math."""
+    C = q.shape[-1]
+    D = C // n_heads
+    g = max(1, 128 // D)
+    if D < 128 and n_heads > g and n_heads % g == 0:
+        Tk = k.shape[1]
+        outs = []
+        for i in range(n_heads // g):
+            ch = slice(i * g * D, (i + 1) * g * D)
+            bf = (None if bias_flat is None
+                  else bias_flat[:, i * g * Tk:(i + 1) * g * Tk])
+            wt = (None if weight is None
+                  else weight[:, :, i * g * Tk:(i + 1) * g * Tk])
+            outs.append(_fused_packed(q[..., ch], k[..., ch], v[..., ch],
+                                      bf, mask, wt, g, use_pallas,
+                                      interpret))
+        return jnp.concatenate(outs, axis=-1)
     return _fused_packed(q, k, v, bias_flat, mask, weight, n_heads,
                          use_pallas, interpret)
 
