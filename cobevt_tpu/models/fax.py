@@ -308,9 +308,12 @@ class CrossWinAttentionParams(nn.Module):
 
 
 def fused_xattn_ok(n_q_tokens: int, heads: int, n_k_tokens: int,
-                   H: int, W: int, q_win, h: int, w: int, k_win) -> bool:
+                   H: int, W: int, q_win, h: int, w: int, k_win,
+                   dim_head: int = 32) -> bool:
     """Fused local-branch kernel applies when windows tile evenly and
-    the per-window similarity tile fits VMEM comfortably."""
+    the per-window working set fits VMEM (queries are chunked, so the
+    binding terms are the block-diagonal K/V and one chunk's
+    similarity tile)."""
     import os
     if os.environ.get("COBEVT_FUSED_XATTN", "1") == "0":
         return False
@@ -319,8 +322,9 @@ def fused_xattn_ok(n_q_tokens: int, heads: int, n_k_tokens: int,
     if (H // q_win[0]) != (h // k_win[0]) or \
             (W // q_win[1]) != (w // k_win[1]):
         return False
-    sim_bytes = n_q_tokens * heads * n_k_tokens * 4
-    return sim_bytes <= 4 * 2 ** 20
+    kbd_bytes = heads * n_k_tokens * heads * dim_head * 2
+    chunk_sim = min(n_q_tokens, 256) * heads * n_k_tokens * 4
+    return kbd_bytes <= 3 * 2 ** 20 and chunk_sim <= 4 * 2 ** 20
 
 
 class CrossViewSwapAttention(nn.Module):
@@ -407,7 +411,8 @@ class CrossViewSwapAttention(nn.Module):
         use_fused = (not train) and fused_xattn_ok(
             nq * self.q_win_size[0] * self.q_win_size[1], self.heads,
             n * self.feat_win_size[0] * self.feat_win_size[1],
-            H, W, self.q_win_size, kh, kw_, self.feat_win_size)
+            H, W, self.q_win_size, kh, kw_, self.feat_win_size,
+            self.dim_head)
 
         def mlp_params(idx):
             g, bta = LNParams(self.dim, name=f"prenorm_{idx}")()
@@ -463,7 +468,8 @@ class CrossViewSwapAttention(nn.Module):
         use_fused_g = (not train) and fused_xattn_ok(
             self.q_win_size[0] * self.q_win_size[1], self.heads,
             n * self.feat_win_size[0] * self.feat_win_size[1],
-            H, W, self.q_win_size, kh, kw_, self.feat_win_size)
+            H, W, self.q_win_size, kh, kw_, self.feat_win_size,
+            self.dim_head)
         if use_fused_g:
             # swap-attention: queries stay window-partitioned while keys
             # ride the dilated grid — realized by factor-swapping the

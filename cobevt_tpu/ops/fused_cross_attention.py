@@ -56,30 +56,40 @@ def _ln_f32(t, gamma, beta, eps=1e-5):
     return (t - mu) * lax.rsqrt(var + eps) * gamma[None, :] + beta[None, :]
 
 
-def _packed_attn(q, k, v, n_heads):
-    """q (Tq, C) pre-scaled, k/v (Tk, C) packed heads -> (Tq, C) f32."""
+def _packed_attn(q, k, v, n_heads, q_chunk=256):
+    """q (Tq, C) pre-scaled, k/v (Tk, C) packed heads -> (Tq, C) f32.
+    Query rows processed in chunks so the f32 similarity tile stays
+    bounded for large-Tq stages (softmax is per-row)."""
     Tk, C = k.shape
     bm = _head_blockmask(n_heads, Tk, C, k.dtype)
     k_bd = jnp.concatenate([k] * n_heads, axis=0) * bm
     v_bd = jnp.concatenate([v] * n_heads, axis=0) * bm
-    sim = lax.dot_general(q, k_bd, (((1,), (1,)), ((), ())),
+    ind = (None if Tk % 128 == 0
+           else _head_indicator(n_heads, Tk, jnp.bfloat16))
+    expander = _head_expander(n_heads, C)
+    Tq = q.shape[0]
+    outs = []
+    for c0 in range(0, Tq, q_chunk):
+        qs = q[c0:min(c0 + q_chunk, Tq)]
+        sim = lax.dot_general(qs, k_bd, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        m = jnp.max(sim, axis=-1, keepdims=True)
+        e = jnp.exp(sim - m).astype(v_bd.dtype)
+        if ind is None:
+            s_h = jnp.concatenate(
+                [jnp.sum(e[:, h * Tk:(h + 1) * Tk].astype(jnp.float32),
+                         axis=-1, keepdims=True)
+                 for h in range(n_heads)], axis=-1)
+            s_h = jnp.pad(s_h, ((0, 0), (0, 128 - n_heads)),
+                          constant_values=1.0)
+        else:
+            s_h = jnp.dot(e, ind.astype(e.dtype),
                           preferred_element_type=jnp.float32)
-    m = jnp.max(sim, axis=-1, keepdims=True)
-    e = jnp.exp(sim - m).astype(v_bd.dtype)
-    if Tk % 128 == 0:
-        s_h = jnp.concatenate(
-            [jnp.sum(e[:, h * Tk:(h + 1) * Tk].astype(jnp.float32),
-                     axis=-1, keepdims=True) for h in range(n_heads)],
-            axis=-1)
-        s_h = jnp.pad(s_h, ((0, 0), (0, 128 - n_heads)),
-                      constant_values=1.0)
-    else:
-        ind = _head_indicator(n_heads, Tk, e.dtype)
-        s_h = jnp.dot(e, ind, preferred_element_type=jnp.float32)
-    out_un = jnp.dot(e, v_bd, preferred_element_type=jnp.float32)
-    norm = jnp.dot(s_h, _head_expander(n_heads, C),
-                   preferred_element_type=jnp.float32)
-    return out_un / norm
+        out_un = jnp.dot(e, v_bd, preferred_element_type=jnp.float32)
+        norm = jnp.dot(s_h, expander,
+                       preferred_element_type=jnp.float32)
+        outs.append(out_un / norm)
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
 def _erf_f32(x):
