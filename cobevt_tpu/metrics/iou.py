@@ -49,12 +49,16 @@ def iou_update(state: IoUState, logits, label, thresholds=(0.4, 0.5),
     probs = jax.nn.sigmoid(logits.astype(jnp.float32))
     label = label.astype(jnp.float32)
     if label_indices is not None:
-        # fold {0,1} channels into groups with one matmul against a
-        # static membership matrix (== per-group max for binary labels)
+        # fold label channels into groups with one matmul against a
+        # static membership matrix.  Channels are binarized first so
+        # min(sum, 1) == per-group max for ANY input scaling (soft
+        # labels included) — identical to a max-fold followed by the
+        # > 0.5 threshold applied below.
         member = np.zeros((label.shape[-1], len(label_indices)),
                           np.float32)
         for g, idx in enumerate(label_indices):
             member[list(idx), g] = 1.0
+        label = (label > 0.5).astype(jnp.float32)
         label = jnp.minimum(label @ jnp.asarray(member), 1.0)
     thr = jnp.asarray(thresholds, jnp.float32)
 

@@ -157,16 +157,31 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
-def fused_conv_enabled(c_in: int, c_out: int) -> bool:
+def fused_conv_enabled(c_in: int, c_out: int, h: int = 0,
+                       w: int = 0) -> bool:
     """Fused inference conv pays off when the channel axes fill whole
     128-lane registers (measured on the 5-agent CorpBEVT forward:
     ~25-40% faster than the XLA emitter per stride-1 block at C in
     {128, 256, 512}, but slower at C=64 where per-grid-step overhead and
     half-register operands dominate — see docs/DESIGN.md).  Narrow convs
-    stay on XLA.  Env kill-switch: COBEVT_FUSED_CONV=0."""
+    stay on XLA.  Env kill-switch: COBEVT_FUSED_CONV=0.
+
+    The kernel keeps the whole (H, W, C_in) input block plus a packed
+    ~2.5MB scratch resident in VMEM (ops/conv2d.py BlockSpecs), so large
+    spatial maps must also fall back — otherwise an unusual config would
+    fail Mosaic compilation at serve time instead of degrading to XLA."""
     if os.environ.get("COBEVT_FUSED_CONV", "1") == "0":
         return False
-    return c_in >= 128 and c_out >= 128
+    if c_in < 128 or c_out < 128:
+        return False
+    if h and w:
+        # bf16 input block + dy-packed scratch target + weights; bound
+        # well under the ~16MB VMEM so output/residual tiles and Mosaic
+        # overheads always fit.
+        working_set = 2 * h * w * c_in + 2_600_000 + 2 * 9 * c_in * c_out
+        if working_set > 8 * 1024 * 1024:
+            return False
+    return True
 
 
 class BasicBlock(nn.Module):
@@ -188,7 +203,8 @@ class BasicBlock(nn.Module):
         # split across backends and the custom-call boundary costs more
         # than the fused conv2 saves (measured)
         if not train and self.stride == 1 and \
-                fused_conv_enabled(x.shape[-1], self.planes):
+                fused_conv_enabled(x.shape[-1], self.planes,
+                                   x.shape[-3], x.shape[-2]):
             return self._fused_eval(x)
         identity = x
         out = torch_conv(self.planes, 3, self.stride, 1, False,

@@ -11,8 +11,10 @@ the input and output ever touches HBM.  The folded-BatchNorm affine,
 the residual skip-add, and the ReLU run in the same kernel on the f32
 accumulator, removing three elementwise HBM round-trips per block.
 
-Used by `cobevt_tpu/nn/layers.py:BasicBlock` (and the Bottleneck 3x3)
-in eval mode; training keeps the XLA path (live batch-stats + autodiff).
+Used by `cobevt_tpu/nn/layers.py:BasicBlock` in eval mode (Bottleneck
+stays fully on XLA — its 1x1-3x3-1x1 chain didn't pay off when split
+across backends); training keeps the XLA path (live batch-stats +
+autodiff).
 Off-TPU the wrapper falls back to an exact `lax.conv_general_dilated`
 formulation, so CPU tests and the virtual-mesh dryrun are unchanged.
 

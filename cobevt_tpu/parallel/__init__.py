@@ -6,3 +6,8 @@ from cobevt_tpu.parallel.mesh import (
     shard_batch,
     cooperative_batch_sharding,
 )
+from cobevt_tpu.parallel.distributed import (
+    ClusterSpec,
+    detect_cluster,
+    maybe_initialize_distributed,
+)

@@ -1,13 +1,21 @@
-"""Model latency benchmark CLI.
+"""Model latency / training-throughput benchmark CLI.
 
 Capability parity with reference nuscenes/scripts/benchmark.py:27-59
 (batch-1 timed forwards, fp32/bf16 switches, device sync) — with the
 dedup-proof scan-chain protocol from bench.py (remote-TPU tunnels can
 elide repeated identical dispatches, so each iteration's input depends on
-the previous output).
+the previous output).  Beyond the reference it also reports model FLOPs
+utilization (XLA cost analysis over the compiled program / chip peak)
+and a `--train` mode timing the FULL optimizer step (fwd + bwd + AdamW),
+chained through the train state — the counterpart of the reference's
+published training economics (nuscenes/README.md:89-90: 50k steps ~ 8h
+at total batch 16).
 
   python -m cobevt_tpu.tools.benchmark --model corpbevt --iters 20
   python -m cobevt_tpu.tools.benchmark --model sinbevt_nuscenes --bf16
+  python -m cobevt_tpu.tools.benchmark --model corpbevt --train
+  python -m cobevt_tpu.tools.benchmark --model sinbevt_nuscenes --train \
+      --batch 8
 """
 
 from __future__ import annotations
@@ -31,6 +39,14 @@ def parse_args():
     p.add_argument("--max_cav", type=int, default=5)
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace here")
+    p.add_argument("--train", action="store_true",
+                   help="time the full optimizer step instead of the "
+                        "eval forward")
+    p.add_argument("--batch", type=int, default=1,
+                   help="batch size (train mode; eval stays batch 1)")
+    p.add_argument("--no_donate", action="store_true",
+                   help="train mode: keep the input state (debug path); "
+                        "default donates it into the step")
     return p.parse_args()
 
 
@@ -130,6 +146,138 @@ def build_pointpillar(bf16, max_cav):
     return model, batch, "voxel_features"
 
 
+def tile_batch(batch, B: int):
+    """Tile every array's leading (batch) axis from 1 to B."""
+    if B == 1:
+        return batch
+    import jax.numpy as jnp
+
+    return {k: jnp.tile(v, (B,) + (1,) * (v.ndim - 1))
+            for k, v in batch.items()}
+
+
+def make_criterion(model_name: str, model, batch):
+    """(criterion, train_batch): synthetic GT labels shaped from the
+    model's own eval outputs + the shipping loss config."""
+    import jax
+    import jax.numpy as jnp
+
+    from cobevt_tpu.losses import VanillaSegLoss
+    from cobevt_tpu.losses.seg_losses import (
+        BinarySegmentationLoss,
+        CenterLoss,
+        MultipleLoss,
+    )
+
+    rng = np.random.RandomState(1)
+    var_shapes = jax.eval_shape(lambda k: model.init(k, batch, False),
+                                jax.random.PRNGKey(0))
+    out_shapes = jax.eval_shape(lambda v, b: model.apply(v, b, False),
+                                var_shapes, batch)
+
+    if model_name == "corpbevt":
+        # corpbevt.yaml loss: target dynamic, d_weights 75, d_coe 2
+        seg = VanillaSegLoss(target="dynamic", d_weights=75.0, d_coe=2.0)
+        s = out_shapes["dynamic_seg"].shape        # (B, L, H, W, C)
+        gt = jnp.asarray(rng.randint(0, 2, s[:-1]).astype(np.int32))
+        train_batch = dict(batch, gt_dynamic=gt, gt_static=gt)
+
+        def criterion(out, b):
+            return seg(out, {"gt_dynamic": b["gt_dynamic"],
+                             "gt_static": b["gt_static"]})
+        return criterion, train_batch
+
+    if model_name == "sinbevt_nuscenes":
+        # reference config.yaml loss: visibility-masked focal bev +
+        # center, weights 1.0 / 0.1
+        losses = MultipleLoss(
+            losses=(("bev", BinarySegmentationLoss(min_visibility=2)),
+                    ("center", CenterLoss(min_visibility=2))),
+            weights=(("bev", 1.0), ("center", 0.1)))
+        bev_s = out_shapes["bev"].shape            # (B, H, W, C)
+        cen_s = out_shapes["center"].shape
+        train_batch = dict(
+            batch,
+            bev=jnp.asarray(
+                rng.randint(0, 2, bev_s).astype(np.float32)),
+            center=jnp.asarray(
+                rng.rand(*cen_s).astype(np.float32)),
+            visibility=jnp.asarray(
+                rng.randint(0, 4, bev_s[:-1]).astype(np.int32)))
+        return losses, train_batch
+
+    raise ValueError(f"no train criterion for {model_name}")
+
+
+def measure_train(model, model_name, batch, opt):
+    """Chain K full optimizer steps through the train state (true data
+    dependency — dedup-proof) and report ms/step + MFU."""
+    import jax
+    import optax
+
+    from cobevt_tpu.train import create_train_state, make_optimizer
+    from cobevt_tpu.utils.flops import compiled_flops, mfu
+
+    criterion, train_batch = make_criterion(model_name, model, batch)
+    train_batch = tile_batch(train_batch, opt.batch)
+    tx = make_optimizer(optax.constant_schedule(2e-4), weight_decay=1e-2,
+                        eps=1e-10)
+    state = create_train_state(model, tx, train_batch)
+
+    # the jitted production step (train/step.py) — tracing through it
+    # inside the scan inlines it, so the K-step chain is ONE XLA program
+    from cobevt_tpu.train.step import make_train_step
+
+    loss_and_grad_step = make_train_step(model, criterion, donate=False)
+
+    K = opt.iters
+
+    def chain(s, b, key):
+        def body(carry, i):
+            s, key = carry
+            key, sub = jax.random.split(key)
+            s2, logs = loss_and_grad_step(s, b, sub)
+            return (s2, key), logs["loss"]
+        (sK, _), losses = jax.lax.scan(body, (s, key), np.arange(K))
+        return sK, losses.sum()
+
+    donate = () if opt.no_donate else (0,)
+    chain_fn = jax.jit(chain, donate_argnums=donate)
+
+    flops_step = compiled_flops(
+        jax.jit(loss_and_grad_step), state, train_batch,
+        jax.random.PRNGKey(0))
+
+    key = jax.random.PRNGKey(0)
+    state, warm_loss = chain_fn(state, train_batch, key)
+    float(warm_loss)                         # compile + warmup
+    if opt.profile_dir:
+        with jax.profiler.trace(opt.profile_dir):
+            state, l = chain_fn(state, train_batch, key)
+            float(l)
+    times = []
+    for i in range(opt.repeats):
+        key = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        state, l = chain_fn(state, train_batch, key)
+        float(l)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) / K
+    util = mfu(flops_step, dt)
+    print(json.dumps({
+        "model": model_name,
+        "mode": "train",
+        "precision": "bf16" if opt.bf16 else "fp32",
+        "batch": opt.batch,
+        "donate": not opt.no_donate,
+        "ms_per_step": round(dt * 1000, 3),
+        "steps_per_sec": round(1.0 / dt, 3),
+        "samples_per_sec": round(opt.batch / dt, 3),
+        "flops_per_step": flops_step,
+        "mfu": round(util, 4) if util is not None else None,
+    }))
+
+
 def main():
     opt = parse_args()
     import jax
@@ -141,6 +289,12 @@ def main():
                "sinbevt_nuscenes": build_sinbevt_nuscenes,
                "pointpillar": build_pointpillar}[opt.model]
     model, batch, chain_key = builder(opt.bf16, opt.max_cav)
+
+    if opt.train:
+        measure_train(model, opt.model, batch, opt)
+        return
+
+    from cobevt_tpu.utils.flops import compiled_flops, mfu
 
     variables = jax.jit(model.init, static_argnums=2)(
         jax.random.PRNGKey(0), batch, False)
@@ -155,6 +309,9 @@ def main():
         xK, _ = jax.lax.scan(body, b[chain_key], None, length=K)
         return xK.sum()
 
+    flops_fwd = compiled_flops(
+        jax.jit(lambda v, b: model.apply(v, b, False)), variables, batch)
+
     chain_fn = jax.jit(chain)
     float(chain_fn(variables, batch))     # compile + warmup
     if opt.profile_dir:
@@ -168,11 +325,14 @@ def main():
         float(chain_fn(variables, b2))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times)) / K
+    util = mfu(flops_fwd, dt)
     print(json.dumps({
         "model": opt.model,
         "precision": "bf16" if opt.bf16 else "fp32",
         "latency_ms": round(dt * 1000, 3),
         "frames_per_sec": round(1.0 / dt, 3),
+        "flops_per_frame": flops_fwd,
+        "mfu": round(util, 4) if util is not None else None,
     }))
 
 

@@ -61,6 +61,14 @@ def build_from_hypes(hypes, half=False):
 def main():
     opt = parse_args()
 
+    # multi-host rendezvous BEFORE any other JAX call (no-op on one
+    # host) — reference NCCL bring-up equivalent, multi_gpu_utils.py:16
+    from cobevt_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()
+
     from cobevt_tpu.configs.hypes import load_hypes, save_config_snapshot
     from cobevt_tpu.data.loader import DataLoader
     from cobevt_tpu.data.opv2v import (
@@ -99,8 +107,8 @@ def main():
                     visible=tp.get("visible", True),
                     train=False)
 
-    # per-host sharding (multi-host: one process per host a la
-    # jax.distributed.initialize; replaces DistributedSampler)
+    # per-host sharding (after maybe_initialize_distributed,
+    # process_count/index span the pod; replaces DistributedSampler)
     train_loader = DataLoader(train_ds, tp["batch_size"], shuffle=True,
                               num_shards=jax.process_count(),
                               shard_index=jax.process_index())

@@ -49,6 +49,13 @@ def parse_args():
 
 def main():
     opt = parse_args()
+    # multi-host rendezvous BEFORE any other JAX call (no-op on one
+    # host) — reference NCCL bring-up equivalent, multi_gpu_utils.py:16
+    from cobevt_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()
     import jax
     import jax.numpy as jnp
 

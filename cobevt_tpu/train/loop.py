@@ -89,6 +89,10 @@ class TrainerConfig:
     seg_target: str = "dynamic"
     vis_dir: Optional[str] = None   # dump GT|pred panels at validation
     vis_samples: int = 4
+    # donate the (params, opt_state) pytree into the jitted step so XLA
+    # updates it in place — halves state HBM footprint and traffic.
+    # Disable only for debugging (keeps the pre-step state readable).
+    donate: bool = True
 
 
 class Trainer:
@@ -99,7 +103,8 @@ class Trainer:
         self.state = state
         self.cfg = config
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self.train_step = make_train_step(model, criterion, donate=False)
+        self.train_step = make_train_step(model, criterion,
+                                          donate=config.donate)
         self.eval_step = make_eval_step(model, criterion)
         self.logger = MetricLogger(config.log_dir)
         self.global_step = int(self.state.step)

@@ -58,22 +58,37 @@ def make_train_step(model, criterion, mesh=None, use_tp: bool = True,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def _fresh_put(x, sharding):
+    """device_put that never aliases its input.
+
+    ``jax.device_put`` returns the SAME array when the sharding already
+    matches; a later donated train step would then delete the caller's
+    buffers through the alias (the dryrun places the same host state onto
+    several meshes and donates one of them).  Force a real copy in that
+    case — it only triggers when the placement would have been free."""
+    y = jax.device_put(x, sharding)
+    if y is x:
+        y = jax.device_put(jnp.array(x, copy=True), sharding)
+    return y
+
+
 def place_state(state: TrainState, mesh, use_tp: bool = True) -> TrainState:
     """Device-put the train state onto the mesh: params/opt_state follow
-    the tensor-parallel rules (or replication), counters replicated."""
+    the tensor-parallel rules (or replication), counters replicated.
+    Always returns fresh buffers (donation-safe, see `_fresh_put`)."""
     shardings = param_sharding(mesh, state.params, use_tp)
     from cobevt_tpu.parallel.mesh import replicated
     rep = replicated(mesh)
     # opt_state starts replicated; after the first donated step XLA leaves
     # the Adam moments sharded like their params.
     return state.replace(
-        step=jax.device_put(state.step, rep),
+        step=_fresh_put(state.step, rep),
         params=jax.tree_util.tree_map_with_path(
-            lambda p, l: jax.device_put(l, _lookup(shardings, p)),
+            lambda p, l: _fresh_put(l, _lookup(shardings, p)),
             state.params),
-        batch_stats=jax.tree.map(lambda l: jax.device_put(l, rep),
+        batch_stats=jax.tree.map(lambda l: _fresh_put(l, rep),
                                  state.batch_stats),
-        opt_state=jax.tree.map(lambda l: jax.device_put(l, rep),
+        opt_state=jax.tree.map(lambda l: _fresh_put(l, rep),
                                state.opt_state))
 
 
