@@ -24,6 +24,9 @@ import numpy as np
 
 
 def measure(model, batch, chain_key, K=10, repeats=3):
+    """Chain-amortized per-frame time.  K must be large enough that the
+    fixed per-call cost (tunnel round-trip ~25ms + dispatch) is noise:
+    at K=50 it contributes <0.5 ms/frame (docs/DESIGN.md, round 3)."""
     import jax
 
     variables = jax.jit(model.init, static_argnums=2)(
@@ -46,7 +49,7 @@ def measure(model, batch, chain_key, K=10, repeats=3):
         t0 = time.perf_counter()
         float(chain_fn(variables, b2))
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / K
+    return float(np.median(times)) / K, variables
 
 
 def main():
@@ -61,24 +64,35 @@ def main():
         build_sinbevt_nuscenes,
     )
 
+    from cobevt_tpu.utils.flops import compiled_flops, mfu
+
+    def fwd_mfu(model, variables, batch, dt):
+        f = compiled_flops(
+            jax.jit(lambda v, b: model.apply(v, b, False)),
+            variables, batch)
+        u = mfu(f, dt)
+        return round(u, 4) if u is not None else None
+
     # headline: the BASELINE protocol (6-cam nuScenes SinBEVT)
     model, batch, key = build_sinbevt_nuscenes(True, None)
-    dt = measure(model, batch, key, K=20)
+    dt, variables = measure(model, batch, key, K=50)
     headline = {
         "metric": "sinbevt_nuscenes_6cam_frames_per_sec_per_chip",
         "value": round(1.0 / dt, 3),
         "unit": "frames/s",
+        "mfu": fwd_mfu(model, variables, batch, dt),
         "vs_baseline": round((1.0 / dt) / 30.0, 3),
     }
 
     # secondary: the cooperative flagship (5 agents x 4 cams x 512^2)
     try:
         model_c, batch_c, key_c = build_corpbevt(True, 5)
-        dt_c = measure(model_c, batch_c, key_c, K=10)
+        dt_c, variables_c = measure(model_c, batch_c, key_c, K=50)
         print(json.dumps({
             "metric": "corpbevt_5agent_frames_per_sec_per_chip",
             "value": round(1.0 / dt_c, 3),
             "unit": "frames/s",
+            "mfu": fwd_mfu(model_c, variables_c, batch_c, dt_c),
             "vs_baseline": round((1.0 / dt_c) / 30.0, 3),
         }), file=sys.stderr)
         # BASELINE.md tracked metric: end-to-end cooperative latency.

@@ -43,7 +43,8 @@ def parse_args():
                    help="time the full optimizer step instead of the "
                         "eval forward")
     p.add_argument("--batch", type=int, default=1,
-                   help="batch size (train mode; eval stays batch 1)")
+                   help="batch size (eval: throughput batching; train: "
+                        "per-step batch)")
     p.add_argument("--no_donate", action="store_true",
                    help="train mode: keep the input state (debug path); "
                         "default donates it into the step")
@@ -296,6 +297,7 @@ def main():
 
     from cobevt_tpu.utils.flops import compiled_flops, mfu
 
+    batch = tile_batch(batch, opt.batch)
     variables = jax.jit(model.init, static_argnums=2)(
         jax.random.PRNGKey(0), batch, False)
 
@@ -329,9 +331,11 @@ def main():
     print(json.dumps({
         "model": opt.model,
         "precision": "bf16" if opt.bf16 else "fp32",
+        "batch": opt.batch,
         "latency_ms": round(dt * 1000, 3),
-        "frames_per_sec": round(1.0 / dt, 3),
-        "flops_per_frame": flops_fwd,
+        "frames_per_sec": round(opt.batch / dt, 3),
+        "flops_per_frame": (flops_fwd / opt.batch
+                            if flops_fwd is not None else None),
         "mfu": round(util, 4) if util is not None else None,
     }))
 

@@ -45,6 +45,15 @@ def parse_args():
     p.add_argument("--out_dir", default=None,
                    help="write per-frame argmax seg maps (npz) here")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--report", default=None,
+                   help="also write the JSON summary (per-bucket AND "
+                        "overall p50/p95/p99 + frames/sec) to this file")
+    p.add_argument("--pipeline", type=int, default=1,
+                   help="in-flight dispatch depth: 1 = block per frame "
+                        "(pure latency), >1 overlaps host dispatch + "
+                        "transfer of the next frame with device compute "
+                        "of the current one (throughput; latencies are "
+                        "then completion latencies incl. queueing)")
     return p.parse_args()
 
 
@@ -159,13 +168,7 @@ def main():
     if opt.out_dir:
         os.makedirs(opt.out_dir, exist_ok=True)
 
-    lat = {}
-    t_all0 = time.perf_counter()
-    for i, (n, frame) in enumerate(frames):
-        t0 = time.perf_counter()
-        out = runner(frame)
-        out = jax.block_until_ready(out)
-        lat.setdefault(n, []).append((time.perf_counter() - t0) * 1e3)
+    def save(i, n, out):
         if opt.out_dir:
             key = "dynamic_seg" if "dynamic_seg" in out else \
                 sorted(out)[0]
@@ -173,6 +176,23 @@ def main():
             np.savez_compressed(
                 os.path.join(opt.out_dir, f"frame_{i:06d}.npz"),
                 seg=seg.astype(np.uint8), n_agents=n)
+
+    lat = {}
+    inflight = []        # (t_dispatch, i, n, async out) FIFO
+    t_all0 = time.perf_counter()
+    for i, (n, frame) in enumerate(frames):
+        t0 = time.perf_counter()
+        out = runner(frame)              # async dispatch
+        inflight.append((t0, i, n, out))
+        while len(inflight) >= max(opt.pipeline, 1):
+            td, j, m, o = inflight.pop(0)
+            o = jax.block_until_ready(o)
+            lat.setdefault(m, []).append((time.perf_counter() - td) * 1e3)
+            save(j, m, o)
+    for td, j, m, o in inflight:         # drain
+        o = jax.block_until_ready(o)
+        lat.setdefault(m, []).append((time.perf_counter() - td) * 1e3)
+        save(j, m, o)
     wall = time.perf_counter() - t_all0
 
     buckets = {
@@ -184,13 +204,23 @@ def main():
         }
         for n, v in sorted(lat.items())
     }
+    all_lat = [t for v in lat.values() for t in v]
     summary = {
         "bucketing": opt.bucketing,
+        "pipeline": opt.pipeline,
         "frames": len(frames),
         "frames_per_sec": round(len(frames) / wall, 2),
+        # true per-frame latency percentiles over every served frame
+        # (each frame individually dispatched + blocked on)
+        "p50_ms": round(float(np.percentile(all_lat, 50)), 2),
+        "p95_ms": round(float(np.percentile(all_lat, 95)), 2),
+        "p99_ms": round(float(np.percentile(all_lat, 99)), 2),
         "buckets": buckets,
     }
     print(json.dumps(summary))
+    if opt.report:
+        with open(opt.report, "w") as f:
+            json.dump(summary, f, indent=1)
     return summary
 
 

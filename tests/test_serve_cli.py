@@ -46,11 +46,14 @@ def test_serve_camera_synthetic(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", [
         "serve_camera", "--model_dir", str(tmp_path),
         "--synthetic", "6", "--bucketing", "staged",
+        "--report", str(tmp_path / "report.json"),
         "--out_dir", str(tmp_path / "preds")])
     summary = serve_camera.main()
 
     assert summary["frames"] == 6
     assert summary["frames_per_sec"] > 0
+    # overall percentiles are true per-frame distributions
+    assert summary["p50_ms"] <= summary["p95_ms"] <= summary["p99_ms"]
     served = sum(b["frames"] for b in summary["buckets"].values())
     assert served == 6
     # every served frame wrote an argmax map
@@ -60,3 +63,14 @@ def test_serve_camera_synthetic(tmp_path, monkeypatch, capsys):
     # the summary line is machine-readable
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(out)["bucketing"] == "staged"
+    # --report wrote the same summary
+    with open(tmp_path / "report.json") as f:
+        assert json.load(f)["frames"] == 6
+
+    # pipelined mode (dispatch-ahead) serves the same frames
+    monkeypatch.setattr(sys, "argv", [
+        "serve_camera", "--model_dir", str(tmp_path),
+        "--synthetic", "5", "--bucketing", "staged", "--pipeline", "2"])
+    summary2 = serve_camera.main()
+    assert summary2["frames"] == 5
+    assert sum(b["frames"] for b in summary2["buckets"].values()) == 5
