@@ -150,15 +150,28 @@ def test_corpbevt_shipping_geometry_parity():
         "transformation_matrix": torch.from_numpy(tmat.copy()),
         "record_len": torch.tensor([N_REAL]),
     }
+    # capture the per-agent FAX BEV maps: the random-weight graph
+    # attenuates input perturbations ~100x per downstream stage at this
+    # depth (measured: 0.1-noise -> 4.7e-4 at fax -> 1.3e-6 at the
+    # head), so a final-output-only comparison would be vacuous for the
+    # camera trunk — stage-wise comparison keeps every path loud.
+    fax_out = {}
+    ref.fax.register_forward_hook(
+        lambda m, i, o: fax_out.__setitem__("y", o.detach().clone()))
     with torch.no_grad():
         ref_out = ref(batch_t)
     ref_dyn = ref_out["dynamic_seg"].numpy()          # (1, 1, C, H, W)
+    ref_fax = fax_out["y"].squeeze(1).numpy()         # (N_REAL, C, H, W)
 
-    # input-sensitivity guard: a saturated random net would make the
-    # comparison vacuous
+    # input-sensitivity guard AT THE FAX STAGE (random noise — a
+    # constant shift is removed exactly by the first BatchNorm)
+    rng_p = np.random.RandomState(99)
     with torch.no_grad():
-        pert = ref({**batch_t, "inputs": batch_t["inputs"] + 0.05})
-    assert float((pert["dynamic_seg"].numpy() - ref_dyn).max()) > 1e-3
+        ref({**batch_t, "inputs": batch_t["inputs"] +
+             torch.from_numpy(0.1 * rng_p.rand(
+                 *images.shape).astype(np.float32))})
+    pert_fax = fax_out["y"].squeeze(1).numpy()
+    assert float(np.abs(pert_fax - ref_fax).max()) > 1e-4
 
     def pad(x):
         y = x[:, 0]
@@ -186,9 +199,18 @@ def test_corpbevt_shipping_geometry_parity():
         "batch_stats": fit_to_template(converted["batch_stats"],
                                        init["batch_stats"]),
     }
+
+    # stage 1: encoder -> FAX per-agent BEV maps at activation scale
+    # (catches any camera-trunk/attention bug at O(0.2) magnitude)
+    ours_enc = model.apply(variables, batch_j, False, stage="encode")
+    ours_fax = np.asarray(ours_enc)[0, :N_REAL].transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours_fax, ref_fax, atol=5e-3, rtol=1e-2)
+
+    # stage 2: the full cooperative forward (warp/mask/fusion/decoder/
+    # head bugs appear at output scale regardless of input attenuation)
     ours = model.apply(variables, batch_j, False)
     ours_dyn = np.asarray(ours["dynamic_seg"]).transpose(0, 1, 4, 2, 3)
-    np.testing.assert_allclose(ours_dyn, ref_dyn, atol=1e-2, rtol=1e-2)
+    np.testing.assert_allclose(ours_dyn, ref_dyn, atol=1e-3, rtol=1e-2)
 
 
 # ---------------------------------------------------------------------------
