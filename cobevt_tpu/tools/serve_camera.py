@@ -44,6 +44,8 @@ def parse_args():
                    help="dataset dir (defaults to hypes validate_dir)")
     p.add_argument("--out_dir", default=None,
                    help="write per-frame argmax seg maps (npz) here")
+    p.add_argument("--half", action="store_true",
+                   help="bfloat16 compute (params stay f32)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--report", default=None,
                    help="also write the JSON summary (per-bucket AND "
@@ -119,7 +121,7 @@ def main():
     from cobevt_tpu.train.checkpoint import restore_checkpoint
 
     hypes = load_hypes(os.path.join(opt.model_dir, "config.yaml"))
-    cfg, model, _ = build_from_hypes(hypes)
+    cfg, model, _ = build_from_hypes(hypes, half=opt.half)
 
     rng = np.random.RandomState(opt.seed)
     sample = synthetic_frame(rng, cfg, cfg.max_cav)
