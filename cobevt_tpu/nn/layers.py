@@ -27,7 +27,11 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
-from cobevt_tpu.ops.conv2d import fold_bn, fused_conv3x3
+from cobevt_tpu.ops.conv2d import (
+    fold_bn,
+    fused_conv3x3,
+    fused_conv3x3_int8,
+)
 
 
 def gelu(x):
@@ -225,10 +229,20 @@ class BasicBlock(nn.Module):
         return nn.relu(out + identity)
 
     def _fused_eval(self, x):
+        # COBEVT_INT8=1 (serving opt-in): post-training-quantized conv
+        # path — per-channel int8 weights, dynamic per-tensor int8
+        # activations, quantized inside the kernel's scratch build.
+        # Gated to C >= 256 where the MXU int8 rate wins (measured
+        # 1.31x at 256, 1.64x at 512; 0.91x at 128 where the in-build
+        # quantize VPU work dominates — docs/DESIGN.md round 3).
         cin = x.shape[-1]
+        conv = fused_conv3x3
+        if os.environ.get("COBEVT_INT8", "0") == "1" and \
+                min(cin, self.planes) >= 256:
+            conv = fused_conv3x3_int8
         k1 = ConvKernelParams(3, cin, self.planes, name="conv1")()
         w1, t1 = fold_bn(k1, *BNParams(self.planes, name="bn1")())
-        out = fused_conv3x3(x, w1, t1, relu=True)
+        out = conv(x, w1, t1, relu=True)
 
         identity = x
         if self.downsample:
@@ -239,7 +253,7 @@ class BasicBlock(nn.Module):
 
         k2 = ConvKernelParams(3, self.planes, self.planes, name="conv2")()
         w2, t2 = fold_bn(k2, *BNParams(self.planes, name="bn2")())
-        return fused_conv3x3(out, w2, t2, residual=identity, relu=True)
+        return conv(out, w2, t2, residual=identity, relu=True)
 
 
 class Bottleneck(nn.Module):

@@ -199,6 +199,183 @@ def fused_conv3x3(x, w, shift, residual=None, relu: bool = True,
     )(*args)
 
 
+def _conv_kernel_int8(x_ref, w_ref, b_ref, sc_ref, inv_ref, *rest, H, W,
+                      h_tile, k_split, relu, has_residual):
+    """int8 variant: activations are quantized to int8 IN the scratch
+    build (per-tensor scale, computed in XLA as one max-reduce), weights
+    arrive pre-quantized per-out-channel, and the nine shifted matmuls
+    run the MXU's double-rate int8 path with an int32 accumulator.
+    Quantizing inside the build step is the whole trick — the input is
+    already in VMEM registers there, so the round/clip is free VPU work,
+    where an XLA-side quantize pass would re-stream the entire input
+    through HBM and cost more than the MXU gain (measured,
+    docs/DESIGN.md round 3)."""
+    if has_residual:
+        r_ref, o_ref, pk_ref = rest
+    else:
+        (o_ref, pk_ref) = rest
+
+    C = x_ref.shape[-1]
+    O = o_ref.shape[-1]
+    S = k_split * h_tile
+    pid = pl.program_id(1)
+
+    def q(v):
+        f = v.astype(jnp.float32) * inv_ref[0, 0]
+        return jnp.clip(jnp.round(f), -127.0, 127.0).astype(jnp.int8)
+
+    @pl.when(pid % k_split == 0)
+    def _build():
+        split = pid // k_split
+        start = split * S
+        pk_ref[...] = jnp.zeros_like(pk_ref)
+        pk_ref[:, 1:W + 1, C:2 * C] = q(x_ref[0, pl.ds(start, S)])
+        first = split == 0
+        last = split == (H // S) - 1
+
+        @pl.when(first)
+        def _():
+            pk_ref[1:S, 1:W + 1, 0:C] = q(x_ref[0, pl.ds(0, S - 1)])
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            pk_ref[0:S, 1:W + 1, 0:C] = q(x_ref[0, pl.ds(start - 1, S)])
+
+        @pl.when(last)
+        def _():
+            pk_ref[0:S - 1, 1:W + 1, 2 * C:3 * C] = \
+                q(x_ref[0, pl.ds(start + 1, S - 1)])
+
+        @pl.when(jnp.logical_not(last))
+        def _():
+            pk_ref[0:S, 1:W + 1, 2 * C:3 * C] = \
+                q(x_ref[0, pl.ds(start + 1, S)])
+
+    h0 = (pid % k_split) * h_tile
+    acc = jnp.zeros((h_tile * W, O), jnp.int32)
+    for dx in range(3):
+        xs = pk_ref[pl.ds(h0, h_tile), dx:dx + W, :]
+        acc += lax.dot_general(
+            xs.reshape(h_tile * W, 3 * C), w_ref[dx],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * sc_ref[0][None, :] + b_ref[0][None, :]
+    if has_residual:
+        out = out + r_ref[0].reshape(h_tile * W, O).astype(jnp.float32)
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    o_ref[0] = out.reshape(h_tile, W, O).astype(o_ref.dtype)
+
+
+def _quantize_weight(w):
+    """Per-out-channel symmetric int8 quantization of a folded (3, 3, C,
+    O) f32 kernel -> (w_q int8, s_w f32 (O,))."""
+    s_w = jnp.max(jnp.abs(w).astype(jnp.float32), axis=(0, 1, 2)) / 127.0
+    s_w = jnp.maximum(s_w, 1e-12)
+    w_q = jnp.clip(jnp.round(w.astype(jnp.float32) / s_w[None, None, None]),
+                   -127, 127).astype(jnp.int8)
+    return w_q, s_w
+
+
+def _act_scale(x):
+    """Dynamic per-tensor activation scale (one VPU max-reduce)."""
+    s_a = jnp.max(jnp.abs(x).astype(jnp.float32)) / 127.0
+    s_a = jnp.maximum(s_a, 1e-12)
+    return s_a
+
+
+def _xla_reference_int8(x, w_q, s_w, s_a, shift, residual, relu):
+    """Exact XLA twin of the int8 kernel (same quantized integers, same
+    f32 rescale) — the off-TPU fallback and the interpret-mode oracle."""
+    inv = 1.0 / s_a
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
+                   -127.0, 127.0).astype(jnp.int8)
+    acc = lax.conv_general_dilated(
+        x_q, w_q, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (s_a * s_w)[None, None, None, :] \
+        + shift.astype(jnp.float32)[None, None, None, :]
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("relu", "use_pallas", "interpret"))
+def fused_conv3x3_int8(x, w, shift, residual=None, relu: bool = True,
+                       use_pallas: bool = True, interpret: bool = False):
+    """int8 post-training-quantized twin of `fused_conv3x3`.
+
+    Same contract (folded-BN f32 `w`/`shift`); weights are quantized
+    per-out-channel at trace time, activations per-tensor dynamically.
+    The MXU runs int8 x int8 -> int32 at ~1.4-1.6x the bf16 matmul rate
+    at these shapes (measured); output drift vs the bf16 path is bounded
+    by the usual symmetric-PTQ error (~1% relative, pinned by tests).
+    Enable end-to-end with COBEVT_INT8=1 (serving only)."""
+    w_q, s_w = _quantize_weight(w)
+    s_a = _act_scale(x)
+    if not use_pallas or (jax.default_backend() != "tpu"
+                          and not interpret):
+        return _xla_reference_int8(x, w_q, s_w, s_a, shift, residual,
+                                   relu)
+
+    N, H, W, C = x.shape
+    O = w.shape[-1]
+    h_tile, k_split = _pick_tiles(H, W, C, O)
+    n_h = H // h_tile
+
+    # (3, 3, C, O) -> (dx, dy*C+c, O) matching the dy-packed scratch
+    w_qt = w_q.transpose(1, 0, 2, 3).reshape(3, 3 * C, O)
+    b8 = jnp.broadcast_to(shift.astype(jnp.float32)[None, :], (8, O))
+    sc8 = jnp.broadcast_to((s_a * s_w)[None, :], (8, O))
+    inv = jnp.full((1, 1), 1.0, jnp.float32) / s_a
+
+    in_specs = [
+        pl.BlockSpec((1, H, W, C), lambda n, h: (n, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3 * C, O), lambda n, h: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, O), lambda n, h: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, O), lambda n, h: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda n, h: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, w_qt, b8, sc8, inv]
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((1, h_tile, W, O), lambda n, h: (n, h, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(residual)
+
+    kernel = functools.partial(
+        _conv_kernel_int8, H=H, W=W, h_tile=h_tile, k_split=k_split,
+        relu=relu, has_residual=residual is not None)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(N, n_h),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h_tile, W, O),
+                               lambda n, h: (n, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((k_split * h_tile, W + 2, 3 * C),
+                                   jnp.int8)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * H * W * 9 * C * O,
+            bytes_accessed=(x.size + (0 if residual is None
+                                      else residual.size)) * 2
+            + N * H * W * O * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+
+
 def fold_bn(kernel, scale, bias, mean, var, eps: float = 1e-5):
     """Fold inference BatchNorm into (scaled kernel, shift).
 

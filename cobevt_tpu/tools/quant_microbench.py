@@ -26,28 +26,42 @@ import time
 import numpy as np
 
 
-def chain_time(fn, x, K=100, repeats=3):
-    """Per-iteration seconds of y <- fn(y-ish) chained K times."""
+def chain_time(fn, x, K_small=50, K_big=2050, repeats=5):
+    """Per-iteration seconds of y <- fn(y-ish), fixed-cost-free.
+
+    A single chained call carries a fixed cost (tunnel round-trip ~25 ms
+    + dispatch) that at any practical K swamps a microsecond-scale op —
+    dividing one chain's wall time by K yields a floor of ~25ms/K per
+    iteration, not the op cost.  Timing the SAME chain at two lengths
+    and differencing removes the fixed cost exactly:
+        per_iter = (t(K_big) - t(K_small)) / (K_big - K_small)
+    """
     import jax
     import jax.numpy as jnp
 
-    def chain(x0):
+    def chain(x0, length):
         def body(c, _):
             y = fn(c)
             # fold the output back into the carry so iterations chain
             c2 = (c * 0.999 + 0.001 * jnp.mean(y).astype(c.dtype))
             return c2, ()
-        cK, _ = jax.lax.scan(body, x0, None, length=K)
+        cK, _ = jax.lax.scan(body, x0, None, length=length)
         return cK.sum()
 
-    cf = jax.jit(chain)
-    float(cf(x))
-    times = []
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        float(cf(x * (1.0 + 0.001 * i)))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / K
+    def timed(length):
+        cf = jax.jit(chain, static_argnums=1)
+        float(cf(x, length))                      # compile + warmup
+        times = []
+        for i in range(repeats):
+            t0 = time.perf_counter()
+            float(cf(x * (1.0 + 0.001 * i), length))
+            times.append(time.perf_counter() - t0)
+        # min-of-repeats: tunnel noise is one-sided additive, so the
+        # fastest run is the best estimate of the true cost
+        return float(np.min(times))
+
+    t_small, t_big = timed(K_small), timed(K_big)
+    return max(t_big - t_small, 1e-9) / (K_big - K_small)
 
 
 def bench_dot(M, K_, N):

@@ -46,6 +46,10 @@ def parse_args():
                    help="write per-frame argmax seg maps (npz) here")
     p.add_argument("--half", action="store_true",
                    help="bfloat16 compute (params stay f32)")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training-quantized int8 conv path "
+                        "(C>=256 ResNet blocks; ~1.5%% per-block drift, "
+                        "see docs/DESIGN.md round 3)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--report", default=None,
                    help="also write the JSON summary (per-bucket AND "
@@ -109,6 +113,8 @@ def synthetic_frame(rng, cfg, n_agents: int):
 
 def main():
     opt = parse_args()
+    if opt.int8:
+        os.environ["COBEVT_INT8"] = "1"
     import jax
 
     jax.config.update("jax_compilation_cache_dir",

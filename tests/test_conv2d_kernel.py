@@ -10,7 +10,15 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from cobevt_tpu.ops.conv2d import fold_bn, fused_conv3x3, _xla_reference
+from cobevt_tpu.ops.conv2d import (
+    _act_scale,
+    _quantize_weight,
+    _xla_reference,
+    _xla_reference_int8,
+    fold_bn,
+    fused_conv3x3,
+    fused_conv3x3_int8,
+)
 
 
 @pytest.mark.parametrize("shape", [
@@ -33,6 +41,73 @@ def test_kernel_matches_xla(shape, residual, relu):
     want = _xla_reference(x, w, b, r, relu)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 16, 16, 256, 256),    # layer3-like (the int8 gate's domain)
+    (1, 8, 16, 384, 256),     # non-square, O != C
+])
+@pytest.mark.parametrize("residual,relu", [(False, True), (True, True),
+                                           (True, False)])
+def test_int8_kernel_matches_xla_twin(shape, residual, relu):
+    """The interpret-mode int8 kernel must produce the SAME quantized
+    integers (hence bit-equal f32 outputs) as its XLA composite twin —
+    the off-TPU fallback is thereby the kernel's oracle."""
+    N, H, W, C, O = shape
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(np.abs(rng.randn(N, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, C, O) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.randn(O) * 0.1, jnp.float32)
+    r = (jnp.asarray(rng.randn(N, H, W, O), jnp.float32)
+         if residual else None)
+
+    got = fused_conv3x3_int8(x, w, b, r, relu=relu, interpret=True)
+    w_q, s_w = _quantize_weight(w)
+    want = _xla_reference_int8(x, w_q, s_w, _act_scale(x), b, r, relu)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_int8_drift_vs_f32_bounded():
+    """Symmetric per-channel-weight / per-tensor-act PTQ error against
+    the exact f32 path stays in the ~1-2%-relative band the serving
+    flag advertises."""
+    N, H, W, C, O = 2, 16, 16, 256, 256
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(np.abs(rng.randn(N, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, C, O) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.randn(O) * 0.1, jnp.float32)
+
+    y_q = np.asarray(fused_conv3x3_int8(x, w, b, use_pallas=False))
+    y_f = np.asarray(fused_conv3x3(x, w, b, use_pallas=False))
+    rel = np.abs(y_q - y_f).max() / (np.abs(y_f).max() + 1e-9)
+    assert rel < 0.03, rel
+
+
+def test_int8_env_gate(monkeypatch):
+    """COBEVT_INT8=1 routes C>=256 BasicBlocks through the quantized
+    path (small, bounded drift) and leaves C=128 blocks untouched."""
+    from cobevt_tpu.nn.layers import BasicBlock
+
+    rng = np.random.RandomState(4)
+    x256 = jnp.asarray(np.abs(rng.randn(2, 8, 8, 256)), jnp.float32)
+    x128 = jnp.asarray(np.abs(rng.randn(2, 8, 8, 128)), jnp.float32)
+    blk256 = BasicBlock(planes=256)
+    blk128 = BasicBlock(planes=128)
+    v256 = blk256.init(jax.random.PRNGKey(0), x256, False)
+    v128 = blk128.init(jax.random.PRNGKey(0), x128, False)
+
+    base256 = np.asarray(blk256.apply(v256, x256, False))
+    base128 = np.asarray(blk128.apply(v128, x128, False))
+    monkeypatch.setenv("COBEVT_INT8", "1")
+    q256 = np.asarray(blk256.apply(v256, x256, False))
+    q128 = np.asarray(blk128.apply(v128, x128, False))
+
+    # C=128: gate keeps the bf16 path -> identical
+    np.testing.assert_array_equal(q128, base128)
+    # C=256: quantized -> small but nonzero drift
+    rel = np.abs(q256 - base256).max() / (np.abs(base256).max() + 1e-9)
+    assert 0 < rel < 0.03, rel
 
 
 def test_fold_bn_matches_batchnorm():
