@@ -96,6 +96,17 @@ def main():
         out = compare(name, fused, stock, budget)
         ok = ok and out
 
+        if name == "corpbevt_5agent":
+            # COBEVT_INT8=1 is an intentionally lossy serving mode —
+            # pin its end-to-end drift against the stock path under a
+            # wider PTQ budget so a quantization regression is loud
+            os.environ["COBEVT_INT8"] = "1"
+            try:
+                quant = _run(model, variables, batch)
+            finally:
+                os.environ.pop("COBEVT_INT8", None)
+            ok = compare(name + "_int8_ptq", quant, stock, 0.15) and ok
+
     return 0 if ok else 1
 
 
