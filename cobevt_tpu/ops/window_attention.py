@@ -382,9 +382,30 @@ def _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
     Tk = k.shape[1]
     HTk = n_heads * Tk
 
+    # Mosaic's DEFAULT scoped-vmem limit is 16MB, but the whole-resident
+    # f32 bias alone is Tq*H*Tk*4 bytes (16MB at CorpBEVT's 32^2-token /
+    # 4-head self-attention) — a legitimate working set on a 128MB-VMEM
+    # chip.  Raise the limit explicitly to what this call actually needs
+    # (resident operands + double-buffered blocks + softmax scratch) and
+    # fall back to XLA only when even that exceeds the hardware.
+    resident = (Tq * HTk * 4 if bias_flat is not None else 0) \
+        + 2 * 2 * (Tk * C * 2) + 2 * 2 * (HTk * C * 2) \
+        + (2 * 8 * HTk * 4 if mask is not None else 0)
+    vmem_limit = min(resident + 24 * 1024 * 1024, 110 * 1024 * 1024)
+    if resident + 8 * 1024 * 1024 > 110 * 1024 * 1024:
+        bias = (_flat_to_heads(bias_flat, n_heads)
+                if bias_flat is not None else None)
+        w4 = (_weight_to_4d(weight, n_heads)
+              if weight is not None else None)
+        out = _xla_packed_reference(_packed_to_4d(q, n_heads),
+                                    _packed_to_4d(k, n_heads),
+                                    _packed_to_4d(v, n_heads), bias,
+                                    mask, w4)
+        return _packed_from_4d(out)
+
     # VMEM budget per query block: sim f32 + e (+ double-buffered bias
-    # f32 / weight blocks when present); Mosaic's scoped vmem limit is
-    # 16MB, leave headroom for k/v/tiled block-diag buffers
+    # f32 / weight blocks when present); leave headroom for k/v/tiled
+    # block-diag buffers
     budget = 6 * 1024 * 1024
     per_row = HTk * (4 + 2
                      + (8 if bias_flat is not None else 0)
@@ -456,6 +477,8 @@ def _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
             flops=flops,
             bytes_accessed=(q.size + k.size + v.size) * 2 + q.size * 2,
             transcendentals=G * Tq * HTk),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(*args)
     return out[:, :orig_tq] if orig_tq != Tq else out
