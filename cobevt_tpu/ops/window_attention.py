@@ -31,6 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
+# Per-kernel VMEM ceiling for the packed path's whole-resident operands
+# (v5e VMEM is 128MB; leave room for Mosaic's own pipeline buffers).
+VMEM_CEILING = 110 * 1024 * 1024
+_VMEM_SLACK = 24 * 1024 * 1024
+
 
 def _attn_body(q, k, v, bias, mask):
     sim = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
@@ -391,8 +396,8 @@ def _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
     resident = (Tq * HTk * 4 if bias_flat is not None else 0) \
         + 2 * 2 * (Tk * C * 2) + 2 * 2 * (HTk * C * 2) \
         + (2 * 8 * HTk * 4 if mask is not None else 0)
-    vmem_limit = min(resident + 24 * 1024 * 1024, 110 * 1024 * 1024)
-    if resident + 8 * 1024 * 1024 > 110 * 1024 * 1024:
+    vmem_limit = min(resident + _VMEM_SLACK, VMEM_CEILING)
+    if resident + 8 * 1024 * 1024 > VMEM_CEILING:
         bias = (_flat_to_heads(bias_flat, n_heads)
                 if bias_flat is not None else None)
         w4 = (_weight_to_4d(weight, n_heads)

@@ -112,6 +112,36 @@ def test_packed_kernel_interpret_matches_xla(use_bias, use_mask,
                                atol=2e-2, rtol=1e-2)
 
 
+def test_packed_kernel_oversized_bias_falls_back_to_xla(monkeypatch):
+    # A whole-resident bias beyond the 110MB VMEM ceiling must take the
+    # XLA path instead of emitting an uncompilable pallas_call (the
+    # kernel raises Mosaic's 16MB default scoped-vmem limit to its real
+    # working set, but cannot exceed the hardware).
+    import cobevt_tpu.ops.window_attention as wa
+
+    monkeypatch.setattr(wa, "VMEM_CEILING", 2 * 1024 * 1024)
+    H, Tq, Tk, C = 4, 64, 64, 32
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(1, Tq, C).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, Tk, C).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, Tk, C).astype(np.float32))
+    bias = jnp.asarray(rng.randn(Tq, H * Tk).astype(np.float32) * 0.1)
+    # estimated resident set must exceed the (patched) ceiling so the
+    # call must route to XLA; with the real ceiling this shape fuses
+    assert Tq * H * Tk * 4 + 8 * 1024 * 1024 > 2 * 1024 * 1024
+    ref = wa._packed_forward_core(q, k, v, bias, None, None, H,
+                                  use_pallas=False, interpret=False)
+
+    def boom(*a, **kw):  # pragma: no cover
+        raise AssertionError("pallas_call must not be reached")
+
+    monkeypatch.setattr(wa.pl, "pallas_call", boom)
+    out = wa._packed_forward_core(q, k, v, bias, None, None, H,
+                                  use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=1e-2)
+
+
 def test_packed_kernel_lane_aligned_path():
     # Tk % 128 == 0 takes the slice-sum branch
     from cobevt_tpu.ops.window_attention import (
