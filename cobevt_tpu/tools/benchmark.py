@@ -207,6 +207,33 @@ def make_criterion(model_name: str, model, batch):
                 rng.randint(0, 4, bev_s[:-1]).astype(np.int32)))
         return losses, train_batch
 
+    if model_name == "pointpillar":
+        # OpenCOOD's PointPillar recipe: focal cls over pos/neg anchors
+        # + smooth-L1 reg on positives (losses/detection_loss.py)
+        from cobevt_tpu.losses.detection_loss import PointPillarLoss
+
+        loss = PointPillarLoss()
+        cls_s = out_shapes["cls_preds"].shape      # (B, h, w, A)
+        reg_s = out_shapes["reg_preds"].shape      # (B, h, w, A*7)
+        pos = (rng.rand(*cls_s) < 0.02).astype(np.float32)
+        neg = ((1.0 - pos) *
+               (rng.rand(*cls_s) < 0.9)).astype(np.float32)
+        train_batch = dict(
+            batch,
+            pos_equal_one=jnp.asarray(pos),
+            neg_equal_one=jnp.asarray(neg),
+            targets=jnp.asarray(
+                rng.randn(*reg_s).astype(np.float32)))
+
+        def criterion(out, b):
+            return loss(
+                {"cls_preds": out["cls_preds"],
+                 "reg_preds": out["reg_preds"]},
+                {"pos_equal_one": b["pos_equal_one"],
+                 "neg_equal_one": b["neg_equal_one"],
+                 "targets": b["targets"]})
+        return criterion, train_batch
+
     raise ValueError(f"no train criterion for {model_name}")
 
 
