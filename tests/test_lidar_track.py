@@ -263,3 +263,59 @@ def test_point_pillar_fusebevt_forward():
     assert out["cls_preds"].shape == (B, 20, 20, 2)
     assert out["reg_preds"].shape == (B, 20, 20, 14)
     assert np.isfinite(np.asarray(out["cls_preds"])).all()
+
+
+def test_point_pillar_train_criterion_one_step():
+    """The benchmark's LiDAR train criterion drives a full optimizer
+    step: finite decreasing-able loss, gradient flow to the pillar
+    encoder (tools/benchmark.py:make_criterion)."""
+    import optax
+
+    from cobevt_tpu.tools.benchmark import make_criterion
+    from cobevt_tpu.train import create_train_state, make_optimizer
+    from cobevt_tpu.train.step import make_train_step
+
+    cfg = PointPillarConfig(
+        max_cav=2, voxel_size=VOXEL_SIZE, point_cloud_range=PC_RANGE,
+        max_voxels=64, max_points_per_voxel=8, pillar_filters=(16,),
+        layer_nums=(1, 1), layer_strides=(2, 2), num_filters=(16, 32),
+        upsample_strides=(1, 2), num_upsample_filter=(16, 16),
+        shrink_dim=32, fusion="swap", fusion_window_size=2,
+        fusion_dim_head=8, fusion_mlp_dim=32, fusion_depth=1,
+        sttf_downsample_rate=2, anchor_num=2)
+    B, L, N, P = 1, 2, 64, 8
+    rng = np.random.RandomState(5)
+    pts = rng.rand(B, L, N, P, 4).astype(np.float32)
+    pr = cfg.point_cloud_range
+    pts[..., 0] = pts[..., 0] * (pr[3] - pr[0]) + pr[0]
+    pts[..., 1] = pts[..., 1] * (pr[4] - pr[1]) + pr[1]
+    pts[..., 2] = pts[..., 2] * (pr[5] - pr[2]) + pr[2]
+    nx, ny, _ = cfg.grid_size
+    coords = np.zeros((B, L, N, 4), np.int32)
+    coords[..., 2] = rng.randint(0, ny, (B, L, N))
+    coords[..., 3] = rng.randint(0, nx, (B, L, N))
+    batch = {
+        "voxel_features": jnp.asarray(pts),
+        "voxel_num_points": jnp.asarray(
+            rng.randint(1, P + 1, (B, L, N)).astype(np.int32)),
+        "voxel_coords": jnp.asarray(coords),
+        "voxel_mask": jnp.asarray(
+            (rng.rand(B, L, N) < 0.8).astype(np.float32)),
+        "transformation_matrix": jnp.asarray(
+            np.tile(np.eye(4, dtype=np.float32), (B, L, 1, 1))),
+        "agent_mask": jnp.ones((B, L), jnp.float32),
+    }
+    model = PointPillarFuseBEVT(cfg)
+    criterion, train_batch = make_criterion("pointpillar", model, batch)
+    state = create_train_state(
+        model, make_optimizer(optax.constant_schedule(1e-3)),
+        train_batch)
+    step = make_train_step(model, criterion, donate=False)
+    state2, logs = step(state, train_batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(logs["loss"]))
+    assert np.isfinite(float(logs["cls_loss"]))
+    assert np.isfinite(float(logs["reg_loss"]))
+    # parameters actually moved
+    p0 = jax.tree.leaves(state.params)[0]
+    p1 = jax.tree.leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
