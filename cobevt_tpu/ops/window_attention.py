@@ -178,11 +178,23 @@ def _fused(q, k, v, bias, mask, use_pallas, interpret):
 
 def _fused_fwd(q, k, v, bias, mask, use_pallas, interpret):
     out = _forward_core(q, k, v, bias, mask, use_pallas, interpret)
-    return out, (q, k, v, bias, mask)
+    return out, (q, k, v, bias, mask, out)
 
 
 def _fused_bwd(use_pallas, interpret, res, g):
-    q, k, v, bias, mask = res
+    # Flash-style recompute backward.  Two deliberate choices keep it
+    # HBM-cheap at training's bf16 dtype (profiled: the earlier all-f32
+    # formulation materialized three f32 (G,H,Tq,Tk) tensors — 1.3GB
+    # each at CorpBEVT stage-0 shapes — costing ~16ms/step):
+    #   * the softmax-correction rowsum uses the identity
+    #     sum_k dp*p = sum_d dO*O (O saved from forward), so dp never
+    #     feeds a separate reduction;
+    #   * every (Tq,Tk)-sized tensor is cast to the INPUT dtype before
+    #     touching HBM or the MXU; accumulation stays f32
+    #     (preferred_element_type).  With f32 inputs (CPU tests) this
+    #     is a no-op.
+    q, k, v, bias, mask, out = res
+    dt = q.dtype
     sim = jnp.einsum("ghqd,ghkd->ghqk", q, k,
                      preferred_element_type=jnp.float32)
     if bias is not None:
@@ -190,16 +202,21 @@ def _fused_bwd(use_pallas, interpret, res, g):
     if mask is not None:
         sim = sim + jnp.where(mask[:, None, None, :] > 0, 0.0,
                               NEG_INF).astype(sim.dtype)
-    p = jax.nn.softmax(sim, axis=-1)
-    g32 = g.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
-    dv = jnp.einsum("ghqk,ghqd->ghkd", p, g32)
-    dp = jnp.einsum("ghqd,ghkd->ghqk", g32, v32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("ghqk,ghkd->ghqd", ds, k.astype(jnp.float32))
-    dk = jnp.einsum("ghqk,ghqd->ghkd", ds, q.astype(jnp.float32))
-    dbias = ds.sum(axis=0).astype(bias.dtype) if bias is not None \
-        else None
+    p = jax.nn.softmax(sim, axis=-1).astype(dt)
+    g = g.astype(dt)
+    s = jnp.einsum("ghqd,ghqd->ghq", g, out.astype(dt),
+                   preferred_element_type=jnp.float32)
+    dv = jnp.einsum("ghqk,ghqd->ghkd", p, g,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("ghqd,ghkd->ghqk", g, v,
+                    preferred_element_type=jnp.float32)
+    ds = (p.astype(jnp.float32) * (dp - s[..., None])).astype(dt)
+    dq = jnp.einsum("ghqk,ghkd->ghqd", ds, k,
+                    preferred_element_type=jnp.float32)
+    dk = jnp.einsum("ghqk,ghqd->ghkd", ds, q,
+                    preferred_element_type=jnp.float32)
+    dbias = ds.astype(jnp.float32).sum(axis=0).astype(bias.dtype) \
+        if bias is not None else None
     dmask = jnp.zeros_like(mask) if mask is not None else None
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             dbias, dmask)
@@ -500,16 +517,24 @@ def _fused_packed_fwd(q, k, v, bias_flat, mask, weight, n_heads,
                       use_pallas, interpret):
     out = _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
                                use_pallas, interpret)
-    return out, (q, k, v, bias_flat, mask, weight)
+    return out, (q, k, v, bias_flat, mask, weight, out)
 
 
 def _fused_packed_bwd(n_heads, use_pallas, interpret, res, g):
-    q, k, v, bias_flat, mask, weight = res
+    # Flash-style recompute backward in the INPUT dtype (see _fused_bwd:
+    # the all-f32 formulation materialized f32 (G,H,Tq,Tk) tensors in
+    # HBM — ~16ms of the 94ms CorpBEVT train step).  Accumulation stays
+    # f32; the softmax-correction rowsum is the flash identity
+    # sum_k ds*p = sum_d dO*O, valid with and without the multiplicative
+    # post-softmax weight (O = (p*w)@v implies sum_d g*O = sum_k da*w*p).
+    q, k, v, bias_flat, mask, weight, out = res
+    dt = q.dtype
     bias = (_flat_to_heads(bias_flat, n_heads)
             if bias_flat is not None else None)
     w4 = _weight_to_4d(weight, n_heads) if weight is not None else None
     q4, k4, v4 = (_packed_to_4d(t, n_heads) for t in (q, k, v))
-    g4 = _packed_to_4d(g, n_heads).astype(jnp.float32)
+    g4 = _packed_to_4d(g, n_heads).astype(dt)
+    out4 = _packed_to_4d(out, n_heads).astype(dt)
 
     sim = jnp.einsum("ghqd,ghkd->ghqk", q4, k4,
                      preferred_element_type=jnp.float32)
@@ -518,24 +543,29 @@ def _fused_packed_bwd(n_heads, use_pallas, interpret, res, g):
     if mask is not None:
         sim = sim + jnp.where(mask[:, None, None, :] > 0, 0.0,
                               NEG_INF).astype(sim.dtype)
-    p = jax.nn.softmax(sim, axis=-1)
-    a = p * w4.astype(p.dtype) if w4 is not None else p
-    v32 = v4.astype(jnp.float32)
-    dv4 = jnp.einsum("ghqk,ghqd->ghkd", a, g4)
-    da = jnp.einsum("ghqd,ghkd->ghqk", g4, v32)
+    p = jax.nn.softmax(sim, axis=-1).astype(dt)
+    a = p * w4.astype(dt) if w4 is not None else p
+    s = jnp.einsum("ghqd,ghqd->ghq", g4, out4,
+                   preferred_element_type=jnp.float32)
+    dv4 = jnp.einsum("ghqk,ghqd->ghkd", a, g4,
+                     preferred_element_type=jnp.float32)
+    da = jnp.einsum("ghqd,ghkd->ghqk", g4, v4,
+                    preferred_element_type=jnp.float32)
     dweight = None
     if w4 is not None:
-        dw4 = (p * da).astype(weight.dtype)
+        dw4 = (p.astype(jnp.float32) * da).astype(weight.dtype)
         dweight = dw4.transpose(0, 2, 1, 3).reshape(weight.shape)
         ds = da * w4.astype(da.dtype)
     else:
         ds = da
-    dsim = p * (ds - jnp.sum(ds * p, axis=-1, keepdims=True))
-    dq4 = jnp.einsum("ghqk,ghkd->ghqd", dsim, k4.astype(jnp.float32))
-    dk4 = jnp.einsum("ghqk,ghqd->ghkd", dsim, q4.astype(jnp.float32))
+    dsim = (p.astype(jnp.float32) * (ds - s[..., None])).astype(dt)
+    dq4 = jnp.einsum("ghqk,ghkd->ghqd", dsim, k4,
+                     preferred_element_type=jnp.float32)
+    dk4 = jnp.einsum("ghqk,ghqd->ghkd", dsim, q4,
+                     preferred_element_type=jnp.float32)
     dbias_flat = None
     if bias_flat is not None:
-        db = dsim.sum(axis=0)
+        db = dsim.astype(jnp.float32).sum(axis=0)
         H, Tq, Tk = db.shape
         dbias_flat = db.transpose(1, 0, 2).reshape(
             Tq, H * Tk).astype(bias_flat.dtype)
