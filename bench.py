@@ -70,22 +70,23 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from cobevt_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from cobevt_tpu.tools.benchmark import (
         build_corpbevt,
+        build_pointpillar,
         build_sinbevt_nuscenes,
     )
 
-    from cobevt_tpu.utils.flops import compiled_flops, mfu
+    from cobevt_tpu.utils.flops import compiled_costs, utilization
 
-    def fwd_mfu(model, variables, batch, dt):
-        f = compiled_flops(
+    def fwd_util(model, variables, batch, dt):
+        costs = compiled_costs(
             jax.jit(lambda v, b: model.apply(v, b, False)),
             variables, batch)
-        u = mfu(f, dt)
-        return round(u, 4) if u is not None else None
+        return utilization(costs, dt)
 
     # headline: the BASELINE protocol (6-cam nuScenes SinBEVT)
     model, batch, key = build_sinbevt_nuscenes(True, None)
@@ -94,7 +95,7 @@ def main():
         "metric": "sinbevt_nuscenes_6cam_frames_per_sec_per_chip",
         "value": round(1.0 / dt, 3),
         "unit": "frames/s",
-        "mfu": fwd_mfu(model, variables, batch, dt),
+        **fwd_util(model, variables, batch, dt),
         "vs_baseline": round((1.0 / dt) / 30.0, 3),
     }
 
@@ -106,7 +107,7 @@ def main():
             "metric": "corpbevt_5agent_frames_per_sec_per_chip",
             "value": round(1.0 / dt_c, 3),
             "unit": "frames/s",
-            "mfu": fwd_mfu(model_c, variables_c, batch_c, dt_c),
+            **fwd_util(model_c, variables_c, batch_c, dt_c),
             "vs_baseline": round((1.0 / dt_c) / 30.0, 3),
         }), file=sys.stderr)
         # BASELINE.md tracked metric: end-to-end cooperative latency.
@@ -125,6 +126,22 @@ def main():
         }), file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"corpbevt secondary bench failed: {e}", file=sys.stderr)
+
+    # tertiary: the cooperative LiDAR flagship (BASELINE config #4,
+    # 5-agent PointPillar + FuseBEVT at production scale) — tracked as a
+    # driver artifact, not just a README claim
+    try:
+        model_p, batch_p, key_p = build_pointpillar(True, 5)
+        dt_p, variables_p = measure(model_p, batch_p, key_p, K=10, K_big=60)
+        print(json.dumps({
+            "metric": "pointpillar_5agent_frames_per_sec_per_chip",
+            "value": round(1.0 / dt_p, 3),
+            "unit": "frames/s",
+            **fwd_util(model_p, variables_p, batch_p, dt_p),
+            "vs_baseline": round((1.0 / dt_p) / 30.0, 3),
+        }), file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"pointpillar tertiary bench failed: {e}", file=sys.stderr)
 
     print(json.dumps(headline))
 

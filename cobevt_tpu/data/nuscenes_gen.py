@@ -42,16 +42,22 @@ class ImageConfig:
 
 
 def load_image_with_intrinsics(path: str, intrinsic: np.ndarray,
-                               cfg: ImageConfig):
+                               cfg: ImageConfig, as_uint8: bool = False):
     """Resize to (h+top_crop, w), crop the top, rescale K (reference
-    transforms.py:118-139).  Returns (h, w, 3) float [0,1] + new K."""
+    transforms.py:118-139).  Returns (h, w, 3) float [0,1] + new K;
+    ``as_uint8`` keeps the pixels uint8 (the models rescale on device —
+    nn/layers.py:images_from_uint8 — which quarters host float work and
+    host->device bytes on the one-core training host)."""
     img = Image.open(path)
     h_resize = cfg.h + cfg.top_crop
     w_resize = cfg.w
     W0, H0 = img.size
     img = img.resize((w_resize, h_resize), resample=Image.BILINEAR)
     img = img.crop((0, cfg.top_crop, w_resize, h_resize))
-    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if as_uint8:
+        arr = np.asarray(img, dtype=np.uint8)
+    else:
+        arr = np.asarray(img, dtype=np.float32) / 255.0
     if arr.ndim == 2:
         arr = np.repeat(arr[..., None], 3, -1)
     arr = arr[..., :3]
@@ -71,12 +77,13 @@ class NuScenesGeneratedDataset:
 
     def __init__(self, scene_name: str, dataset_dir: str, labels_dir: str,
                  image_config: ImageConfig = ImageConfig(),
-                 num_classes: int = 12):
+                 num_classes: int = 12, raw_uint8: bool = False):
         self.scene_name = scene_name
         self.dataset_dir = Path(dataset_dir)
         self.labels_dir = Path(labels_dir)
         self.image_config = image_config
         self.num_classes = num_classes
+        self.raw_uint8 = raw_uint8
         with open(self.labels_dir / f"{scene_name}.json") as f:
             self.samples = json.load(f)
 
@@ -90,12 +97,14 @@ class NuScenesGeneratedDataset:
         images, intrinsics = [], []
         for path, K in zip(s["images"], s["intrinsics"]):
             img, K2 = load_image_with_intrinsics(
-                str(self.dataset_dir / path), K, self.image_config)
+                str(self.dataset_dir / path), K, self.image_config,
+                as_uint8=self.raw_uint8)
             images.append(img)
             intrinsics.append(K2)
 
         out = {
-            "image": np.stack(images).astype(np.float32),
+            "image": (np.stack(images) if self.raw_uint8
+                      else np.stack(images).astype(np.float32)),
             "intrinsics": np.stack(intrinsics).astype(np.float32),
             "extrinsics": np.array(s["extrinsics"], np.float32),
             "view": np.array(s["view"], np.float32),

@@ -177,11 +177,9 @@ class OPV2VScenarioDatabase:
 # preprocessing / labels
 # ---------------------------------------------------------------------------
 
-def preprocess_camera_image(img: np.ndarray, resize_hw: Tuple[int, int],
-                            mean=(0.485, 0.456, 0.406),
-                            std=(0.229, 0.224, 0.225),
-                            bgr2rgb: bool = True) -> np.ndarray:
-    """uint8 (H, W, 3) BGR -> float32 normalized (h, w, 3)."""
+def resize_rgb_uint8(img: np.ndarray, resize_hw: Tuple[int, int],
+                     bgr2rgb: bool = True) -> np.ndarray:
+    """uint8 (H, W, 3) BGR -> resized uint8 RGB (h, w, 3)."""
     if bgr2rgb:
         img = img[..., ::-1]
     if cv2 is not None:
@@ -192,6 +190,15 @@ def preprocess_camera_image(img: np.ndarray, resize_hw: Tuple[int, int],
         xs = (np.arange(resize_hw[1]) * img.shape[1] //
               resize_hw[1]).astype(int)
         img = img[ys][:, xs]
+    return np.ascontiguousarray(img)
+
+
+def preprocess_camera_image(img: np.ndarray, resize_hw: Tuple[int, int],
+                            mean=(0.485, 0.456, 0.406),
+                            std=(0.229, 0.224, 0.225),
+                            bgr2rgb: bool = True) -> np.ndarray:
+    """uint8 (H, W, 3) BGR -> float32 normalized (h, w, 3)."""
+    img = resize_rgb_uint8(img, resize_hw, bgr2rgb)
     img = img.astype(np.float32) / 255.0
     return ((img - np.asarray(mean, np.float32)) /
             np.asarray(std, np.float32)).astype(np.float32)
@@ -234,13 +241,21 @@ class OPV2VCameraDataset:
                  visible: bool = True,
                  wild: WildConfig = WildConfig(),
                  train: bool = True,
-                 seed: int = 0):
+                 seed: int = 0,
+                 normalize: bool = True):
+        """``normalize=False`` emits resized uint8 RGB in ``inputs``
+        instead of ImageNet-normalized f32 — the models rescale on
+        device (nn/layers.py:images_from_uint8), which quarters host
+        float work, sample RAM, and host->device transfer; numerics are
+        identical to the f32 contract (pinned by
+        tests/test_data_pipeline.py)."""
         self.db = db
         self.image_hw = image_hw
         self.bev_hw = bev_hw
         self.visible = visible
         self.wild = wild
         self.train = train
+        self.normalize = normalize
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -269,7 +284,8 @@ class OPV2VCameraDataset:
         L = self.db.max_cav
         M = OPV2VScenarioDatabase.CAMERA_COUNT
         H, W = self.image_hw
-        inputs = np.zeros((L, M, H, W, 3), np.float32)
+        inputs = np.zeros((L, M, H, W, 3),
+                          np.float32 if self.normalize else np.uint8)
         intrinsic = np.tile(np.eye(3, dtype=np.float32), (L, M, 1, 1))
         extrinsic = np.tile(np.eye(4, dtype=np.float32), (L, M, 1, 1))
         tmat = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))
@@ -309,8 +325,10 @@ class OPV2VCameraDataset:
             for m in range(M):
                 cam = params[f"camera{m}"]
                 img = self._read_image(obs["cameras"][m])
-                inputs[slot, m] = preprocess_camera_image(img,
-                                                          self.image_hw)
+                inputs[slot, m] = (
+                    preprocess_camera_image(img, self.image_hw)
+                    if self.normalize
+                    else resize_rgb_uint8(img, self.image_hw))
                 intrinsic[slot, m] = np.asarray(cam["intrinsic"],
                                                 np.float32)
                 extrinsic[slot, m] = x1_to_x2(cam["cords"],

@@ -39,6 +39,7 @@ from cobevt_tpu.models.fusion.graph_fusion import (
 from cobevt_tpu.models.fusion.swap_fusion import SwapFusionEncoder
 from cobevt_tpu.models.fusion.zoo import BaseTransformer, max_fusion
 from cobevt_tpu.models.heads import BevSegHead, NaiveDecoder
+from cobevt_tpu.nn.layers import images_from_uint8
 from cobevt_tpu.nn.resnet import ResNetEncoder
 
 
@@ -103,7 +104,7 @@ class CameraBEVModel(nn.Module):
     @nn.compact
     def __call__(self, batch, train: bool = False):
         cfg = self.config
-        x = batch["inputs"]
+        x = images_from_uint8(batch["inputs"])
         B, L, M = x.shape[:3]
 
         feats = ResNetEncoder(cfg.encoder_num_layers, cfg.encoder_id_pick,

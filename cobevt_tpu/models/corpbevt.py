@@ -24,6 +24,7 @@ from cobevt_tpu.geometry.warp import roi_and_agent_mask, sttf_warp
 from cobevt_tpu.models.fax import FAXConfig, FAXModule
 from cobevt_tpu.models.fusion.swap_fusion import SwapFusionEncoder
 from cobevt_tpu.models.heads import BevSegHead, NaiveCompressor, NaiveDecoder
+from cobevt_tpu.nn.layers import images_from_uint8
 from cobevt_tpu.nn.resnet import ResNetEncoder
 
 
@@ -105,7 +106,7 @@ class CorpBEVT(nn.Module):
         """
         cfg = self.config
         if stage in ("full", "encode"):
-            x = batch["inputs"]
+            x = images_from_uint8(batch["inputs"])
             B, L, M = x.shape[:3]
 
             feats = ResNetEncoder(cfg.encoder_num_layers,
@@ -174,7 +175,7 @@ class SinBEVT(nn.Module):
     @nn.compact
     def __call__(self, batch, train: bool = False):
         cfg = self.config
-        x = batch["inputs"]
+        x = images_from_uint8(batch["inputs"])
         feats = ResNetEncoder(cfg.encoder_num_layers, cfg.encoder_id_pick,
                               dtype=self.dtype, name="encoder")(x, train)
         x = FAXModule(cfg.resolved_fax(), dtype=self.dtype, name="fax")(

@@ -26,7 +26,7 @@ from cobevt_tpu.models.cvt_dense import (
 )
 from cobevt_tpu.models.sinbevt_nuscenes import normalize_image
 from cobevt_tpu.nn.efficientnet import EfficientNetExtractor
-from cobevt_tpu.nn.layers import Bottleneck
+from cobevt_tpu.nn.layers import Bottleneck, images_from_uint8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,7 +62,7 @@ class CVTNuScenesEncoder(nn.Module):
     @nn.compact
     def __call__(self, batch: Dict, train: bool = False):
         cfg = self.config
-        image = batch["image"]
+        image = images_from_uint8(batch["image"], normalize=False)
         B, n, H, W, _ = image.shape
 
         I_inv = jnp.linalg.inv(batch["intrinsics"].astype(jnp.float32))

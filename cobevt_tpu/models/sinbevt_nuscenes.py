@@ -30,7 +30,13 @@ from cobevt_tpu.models.fax import (
     CrossViewSwapAttention,
 )
 from cobevt_tpu.nn.efficientnet import EfficientNetExtractor
-from cobevt_tpu.nn.layers import Bottleneck, batch_norm, pixel_unshuffle, torch_conv
+from cobevt_tpu.nn.layers import (
+    Bottleneck,
+    batch_norm,
+    images_from_uint8,
+    pixel_unshuffle,
+    torch_conv,
+)
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -98,7 +104,7 @@ class PyramidAxialEncoder(nn.Module):
         ``features`` (list of (B*n, h, w, c)) bypasses the backbone —
         used for golden parity tests and backbone-feature caching."""
         cfg = self.config
-        image = batch["image"]
+        image = images_from_uint8(batch["image"], normalize=False)
         B, n, H, W, _ = image.shape
 
         I_inv = jnp.linalg.inv(batch["intrinsics"].astype(jnp.float32))

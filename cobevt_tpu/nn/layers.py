@@ -39,6 +39,34 @@ def gelu(x):
     return nn.gelu(x, approximate=False)
 
 
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def images_from_uint8(x, normalize: bool = True):
+    """Trace-time dtype dispatch for the uint8 host-pipeline contract.
+
+    The host input pipeline can ship resized uint8 images (4x less
+    host->device transfer and zero host float math — the one-core host
+    is the training bottleneck, see docs/DESIGN.md round 4); the models
+    then normalize on-device, where the (x/255 - mean)/std elementwise
+    chain fuses into the first convolution's input for free.  f32 input
+    passes through untouched (the host-normalized contract), so both
+    pipelines hit identical downstream numerics.
+
+    normalize=True applies the ImageNet mean/std used by the OPV2V
+    track's host preprocessor (data/opv2v.py:preprocess_camera_image);
+    normalize=False only rescales to [0, 1] (the nuScenes models
+    normalize inside the graph already, sinbevt_nuscenes.py:39)."""
+    if x.dtype != jnp.uint8:
+        return x
+    x = x.astype(jnp.float32) / 255.0
+    if normalize:
+        x = (x - jnp.asarray(IMAGENET_MEAN, x.dtype)) / jnp.asarray(
+            IMAGENET_STD, x.dtype)
+    return x
+
+
 def torch_conv(features: int, kernel_size=(3, 3), strides=(1, 1), padding=0,
                use_bias: bool = True, dtype=None, name=None) -> nn.Conv:
     """2D conv on NHWC with torch-style integer padding."""

@@ -579,8 +579,6 @@ def _fused_packed_bwd(n_heads, use_pallas, interpret, res, g):
 _fused_packed.defvjp(_fused_packed_fwd, _fused_packed_bwd)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_heads", "use_pallas", "interpret"))
 def fused_window_attention_packed(q, k, v, n_heads: int, bias_flat=None,
                                   mask=None, weight=None,
                                   use_pallas: bool = True,
@@ -603,6 +601,31 @@ def fused_window_attention_packed(q, k, v, n_heads: int, bias_flat=None,
     identical utilization (measured 2.9 -> 1.5 ms per attention on the
     cooperative-LiDAR fusion).  Groups are independent heads — the
     same math."""
+    flash = _flash_bwd_enabled()
+    return _fwa_packed_jit(q, k, v, bias_flat, mask, weight, n_heads,
+                           use_pallas, interpret, flash)
+
+
+def _flash_bwd_enabled() -> bool:
+    """COBEVT_FLASH_BWD=0 routes attention through the plain XLA
+    composite (stock autodiff backward, f32 intermediates) instead of
+    the custom flash-identity VJP — the A/B lever for validating the
+    shipped bf16 training backward on hardware
+    (tools/validate_kernels.py --train).  Read per call and threaded as
+    a static jit arg so the trace cache keys on it."""
+    import os
+
+    return os.environ.get("COBEVT_FLASH_BWD", "1") != "0"
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "use_pallas", "interpret",
+                                    "flash"))
+def _fwa_packed_jit(q, k, v, bias_flat, mask, weight, n_heads,
+                    use_pallas, interpret, flash):
+    if not flash:
+        return _packed_forward_core(q, k, v, bias_flat, mask, weight,
+                                    n_heads, False, False)
     C = q.shape[-1]
     D = C // n_heads
     g = max(1, 128 // D)
@@ -623,7 +646,6 @@ def fused_window_attention_packed(q, k, v, n_heads: int, bias_flat=None,
                          use_pallas, interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"))
 def fused_window_attention(q, k, v, bias=None, mask=None,
                            use_pallas: bool = True,
                            interpret: bool = False):
@@ -633,4 +655,13 @@ def fused_window_attention(q, k, v, bias=None, mask=None,
     the fused Pallas kernel on TPU, backward recomputes the attention
     matrix in XLA (nothing large is saved).  `interpret=True` runs the
     kernel body in interpreter mode (CPU testing)."""
+    return _fwa_jit(q, k, v, bias, mask, use_pallas, interpret,
+                    _flash_bwd_enabled())
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("use_pallas", "interpret", "flash"))
+def _fwa_jit(q, k, v, bias, mask, use_pallas, interpret, flash):
+    if not flash:
+        return _forward_core(q, k, v, bias, mask, False, False)
     return _fused(q, k, v, bias, mask, use_pallas, interpret)

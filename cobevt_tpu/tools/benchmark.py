@@ -238,13 +238,18 @@ def make_criterion(model_name: str, model, batch):
 
 
 def measure_train(model, model_name, batch, opt):
-    """Chain K full optimizer steps through the train state (true data
-    dependency — dedup-proof) and report ms/step + MFU."""
+    """Chain full optimizer steps through the train state (true data
+    dependency — dedup-proof) and report ms/step + MFU + HBM util.
+
+    Same two-length differenced clock as the eval path: the chain is
+    timed at K and 3K steps and differenced, so the fixed per-call cost
+    (tunnel round-trip + dispatch + scalar fetch, ~30 ms) cancels
+    exactly instead of leaking ~30/K ms into every step."""
     import jax
     import optax
 
     from cobevt_tpu.train import create_train_state, make_optimizer
-    from cobevt_tpu.utils.flops import compiled_flops, mfu
+    from cobevt_tpu.utils.flops import compiled_costs, utilization
 
     criterion, train_batch = make_criterion(model_name, model, batch)
     train_batch = tile_batch(train_batch, opt.batch)
@@ -258,51 +263,59 @@ def measure_train(model, model_name, batch, opt):
 
     loss_and_grad_step = make_train_step(model, criterion, donate=False)
 
-    K = opt.iters
+    K, K_big = opt.iters, 3 * opt.iters
 
-    def chain(s, b, key):
+    def chain(s, b, key, length):
         def body(carry, i):
             s, key = carry
             key, sub = jax.random.split(key)
             s2, logs = loss_and_grad_step(s, b, sub)
             return (s2, key), logs["loss"]
-        (sK, _), losses = jax.lax.scan(body, (s, key), np.arange(K))
+        (sK, _), losses = jax.lax.scan(body, (s, key),
+                                       np.arange(length))
         return sK, losses.sum()
 
     donate = () if opt.no_donate else (0,)
-    chain_fn = jax.jit(chain, donate_argnums=donate)
+    chain_fn = jax.jit(chain, static_argnums=3, donate_argnums=donate)
 
-    flops_step = compiled_flops(
+    costs_step = compiled_costs(
         jax.jit(loss_and_grad_step), state, train_batch,
         jax.random.PRNGKey(0))
 
     key = jax.random.PRNGKey(0)
-    state, warm_loss = chain_fn(state, train_batch, key)
-    float(warm_loss)                         # compile + warmup
+
+    def timed(state, length):
+        nonlocal key
+        state, warm_loss = chain_fn(state, train_batch, key, length)
+        float(warm_loss)                     # compile + warmup
+        times = []
+        for i in range(opt.repeats):
+            key = jax.random.fold_in(key, i)
+            t0 = time.perf_counter()
+            state, l = chain_fn(state, train_batch, key, length)
+            float(l)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times)), state
+
+    t_small, state = timed(state, K)
     if opt.profile_dir:
         with jax.profiler.trace(opt.profile_dir):
-            state, l = chain_fn(state, train_batch, key)
+            state, l = chain_fn(state, train_batch, key, K)
             float(l)
-    times = []
-    for i in range(opt.repeats):
-        key = jax.random.fold_in(key, i)
-        t0 = time.perf_counter()
-        state, l = chain_fn(state, train_batch, key)
-        float(l)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times)) / K
-    util = mfu(flops_step, dt)
+    t_big, state = timed(state, K_big)
+    dt = (t_big - t_small) / (K_big - K)
     print(json.dumps({
         "model": model_name,
         "mode": "train",
         "precision": "bf16" if opt.bf16 else "fp32",
         "batch": opt.batch,
         "donate": not opt.no_donate,
+        "clock": "two-K differenced",
         "ms_per_step": round(dt * 1000, 3),
         "steps_per_sec": round(1.0 / dt, 3),
         "samples_per_sec": round(opt.batch / dt, 3),
-        "flops_per_step": flops_step,
-        "mfu": round(util, 4) if util is not None else None,
+        "flops_per_step": costs_step["flops"],
+        **utilization(costs_step, dt),
     }))
 
 
@@ -310,8 +323,9 @@ def main():
     opt = parse_args()
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
+    from cobevt_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     builder = {"corpbevt": build_corpbevt,
                "sinbevt_nuscenes": build_sinbevt_nuscenes,
@@ -322,48 +336,54 @@ def main():
         measure_train(model, opt.model, batch, opt)
         return
 
-    from cobevt_tpu.utils.flops import compiled_flops, mfu
+    from cobevt_tpu.utils.flops import compiled_costs, utilization
 
     batch = tile_batch(batch, opt.batch)
     variables = jax.jit(model.init, static_argnums=2)(
         jax.random.PRNGKey(0), batch, False)
 
-    K = opt.iters
+    K, K_big = opt.iters, 3 * opt.iters
 
-    def chain(v, b):
+    def chain(v, b, length):
         def body(x, _):
             out = model.apply(v, dict(b, **{chain_key: x}), False)
             leaf = jax.tree.leaves(out)[0]
             return x + 1e-12 * leaf.mean().astype(x.dtype), ()
-        xK, _ = jax.lax.scan(body, b[chain_key], None, length=K)
+        xK, _ = jax.lax.scan(body, b[chain_key], None, length=length)
         return xK.sum()
 
-    flops_fwd = compiled_flops(
+    costs_fwd = compiled_costs(
         jax.jit(lambda v, b: model.apply(v, b, False)), variables, batch)
 
-    chain_fn = jax.jit(chain)
-    float(chain_fn(variables, batch))     # compile + warmup
+    chain_fn = jax.jit(chain, static_argnums=2)
+
+    def timed(length):
+        float(chain_fn(variables, batch, length))   # compile + warmup
+        times = []
+        for i in range(opt.repeats):
+            b2 = dict(batch, **{chain_key: batch[chain_key] *
+                                (1.0 + 0.001 * (i + 1))})
+            t0 = time.perf_counter()
+            float(chain_fn(variables, b2, length))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t_small = timed(K)
     if opt.profile_dir:
         with jax.profiler.trace(opt.profile_dir):
-            float(chain_fn(variables, batch))
-    times = []
-    for i in range(opt.repeats):
-        b2 = dict(batch, **{chain_key: batch[chain_key] *
-                            (1.0 + 0.001 * (i + 1))})
-        t0 = time.perf_counter()
-        float(chain_fn(variables, b2))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times)) / K
-    util = mfu(flops_fwd, dt)
+            float(chain_fn(variables, batch, K))
+    t_big = timed(K_big)
+    dt = (t_big - t_small) / (K_big - K)
     print(json.dumps({
         "model": opt.model,
         "precision": "bf16" if opt.bf16 else "fp32",
         "batch": opt.batch,
+        "clock": "two-K differenced",
         "latency_ms": round(dt * 1000, 3),
         "frames_per_sec": round(opt.batch / dt, 3),
-        "flops_per_frame": (flops_fwd / opt.batch
-                            if flops_fwd is not None else None),
-        "mfu": round(util, 4) if util is not None else None,
+        "flops_per_frame": (costs_fwd["flops"] / opt.batch
+                            if costs_fwd["flops"] is not None else None),
+        **utilization(costs_fwd, dt),
     }))
 
 

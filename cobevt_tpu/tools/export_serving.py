@@ -70,8 +70,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
+    from cobevt_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     platforms = (opt.platforms.split(",") if opt.platforms
                  else [jax.default_backend()])
 

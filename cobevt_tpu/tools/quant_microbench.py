@@ -155,8 +155,9 @@ def main():
     opt = p.parse_args()
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
+    from cobevt_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     results = []
     # FAX/fusion dense shapes (tokens x dim): BEV 64^2 queries dim 128,

@@ -117,8 +117,9 @@ def main():
         os.environ["COBEVT_INT8"] = "1"
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
+    from cobevt_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     import optax
 
     from cobevt_tpu.configs.hypes import load_hypes

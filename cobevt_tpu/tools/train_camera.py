@@ -28,6 +28,18 @@ def parse_args():
     p.add_argument("--half", action="store_true",
                    help="bfloat16 compute")
     p.add_argument("--save_dir", default="runs/default")
+    p.add_argument("--uint8_input", action="store_true",
+                   help="host ships resized uint8 images, models "
+                        "normalize on device (4x less host float work "
+                        "and host->device bytes; numerics identical — "
+                        "nn/layers.py:images_from_uint8)")
+    p.add_argument("--input_cache", default="",
+                   help="directory for the decode-once sample cache "
+                        "(data/cache.py); with --uint8_input this is "
+                        "the pipeline that feeds the chip on a 1-core "
+                        "host (INPUT_r04.json).  Freezes wild-setting "
+                        "noise draws and per-epoch CAV shuffling at "
+                        "cache-build time.")
     return p.parse_args()
 
 
@@ -100,12 +112,22 @@ def main():
                                      shuffle_cavs=True)
     val_db = OPV2VScenarioDatabase(hypes["validate_dir"],
                                    max_cav=tp["max_cav"])
+    ds_kwargs = {}
+    if opt.uint8_input:
+        ds_kwargs["normalize"] = False
     train_ds = ds_cls(train_db, image_hw=img_hw,
                       visible=tp.get("visible", True),
-                      wild=wild, train=True)
+                      wild=wild, train=True, **ds_kwargs)
     val_ds = ds_cls(val_db, image_hw=img_hw,
                     visible=tp.get("visible", True),
-                    train=False)
+                    train=False, **ds_kwargs)
+    if opt.input_cache:
+        from cobevt_tpu.data.cache import CachedDataset
+
+        train_ds = CachedDataset(train_ds,
+                                 os.path.join(opt.input_cache, "train"))
+        val_ds = CachedDataset(val_ds,
+                               os.path.join(opt.input_cache, "val"))
 
     # per-host sharding (after maybe_initialize_distributed,
     # process_count/index span the pod; replaces DistributedSampler)
@@ -146,7 +168,11 @@ def main():
     def reshuffle(epoch):
         train_db.reinitialize()          # re-shuffle CAV ordering
 
-    trainer.fit(train_loader, val_loader, on_epoch_end=reshuffle)
+    # the sample cache keys on index only — re-shuffling CAV order under
+    # it would serve stale agents, so the cache pins one CAV ordering
+    # (the batch-order shuffle in DataLoader is unaffected)
+    on_epoch_end = None if opt.input_cache else reshuffle
+    trainer.fit(train_loader, val_loader, on_epoch_end=on_epoch_end)
 
 
 if __name__ == "__main__":

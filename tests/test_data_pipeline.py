@@ -208,3 +208,72 @@ def test_loader_early_break_no_leak(tmp_path):
     import time
     time.sleep(0.5)
     assert threading.active_count() <= before + 1
+
+
+def test_uint8_contract_matches_f32(tmp_path):
+    """normalize=False (uint8 host contract + on-device normalize) must
+    produce numerics identical to the host-normalized f32 contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from cobevt_tpu.nn.layers import images_from_uint8
+
+    root = str(tmp_path / "opv2v")
+    os.makedirs(root)
+    write_opv2v_fixture(root, n_scenarios=1, n_cavs=2, n_stamps=2)
+    db = OPV2VScenarioDatabase(root, max_cav=2)
+    ds_f32 = OPV2VCameraDataset(db, image_hw=(IMG, IMG),
+                                bev_hw=(BEV, BEV))
+    ds_u8 = OPV2VCameraDataset(db, image_hw=(IMG, IMG), bev_hw=(BEV, BEV),
+                               normalize=False)
+    s_f32, s_u8 = ds_f32[0], ds_u8[0]
+    assert s_u8["inputs"].dtype == np.uint8
+    dev = np.asarray(images_from_uint8(jnp.asarray(s_u8["inputs"])))
+    np.testing.assert_allclose(dev, s_f32["inputs"], atol=1e-6)
+    # everything non-image identical
+    for k in s_f32:
+        if k != "inputs":
+            np.testing.assert_array_equal(s_f32[k], s_u8[k])
+
+
+def test_cached_dataset_roundtrip(tmp_path):
+    from cobevt_tpu.data.cache import CachedDataset
+
+    root = str(tmp_path / "opv2v")
+    os.makedirs(root)
+    write_opv2v_fixture(root, n_scenarios=1, n_cavs=2, n_stamps=3)
+    db = OPV2VScenarioDatabase(root, max_cav=2)
+    ds = OPV2VCameraDataset(db, image_hw=(IMG, IMG), bev_hw=(BEV, BEV),
+                            normalize=False)
+    cached = CachedDataset(ds, str(tmp_path / "cache"))
+    assert len(cached) == len(ds)
+    direct = ds[1]
+    assert cached.warm() == len(ds)
+    assert cached.warm() == 0          # second pass: everything cached
+    from_cache = cached[1]
+    assert set(from_cache) == set(direct)
+    for k in direct:
+        np.testing.assert_array_equal(from_cache[k], direct[k])
+        assert from_cache[k].dtype == direct[k].dtype
+    # collate passthrough works on cached samples
+    batch = cached.collate([cached[0], cached[1]])
+    assert batch["inputs"].shape[0] == 2
+
+
+def test_nuscenes_raw_uint8_contract(tmp_path):
+    from cobevt_tpu.data.nuscenes_gen import (
+        ImageConfig,
+        load_image_with_intrinsics,
+    )
+
+    rng = np.random.RandomState(0)
+    p = str(tmp_path / "img.jpg")
+    Image.fromarray(rng.randint(0, 255, (90, 160, 3), np.uint8)).save(p)
+    K = [[100.0, 0, 80], [0, 100.0, 45], [0, 0, 1]]
+    cfg = ImageConfig(h=32, w=64, top_crop=8)
+    f32, K1 = load_image_with_intrinsics(p, K, cfg)
+    u8, K2 = load_image_with_intrinsics(p, K, cfg, as_uint8=True)
+    assert u8.dtype == np.uint8 and f32.dtype == np.float32
+    np.testing.assert_allclose(u8.astype(np.float32) / 255.0, f32,
+                               atol=1e-6)
+    np.testing.assert_array_equal(K1, K2)

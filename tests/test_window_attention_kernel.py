@@ -210,3 +210,23 @@ def test_selfattention_training_uses_fused_kernel():
     # unfused path had an explicit softmax primitive on a 4D sim tensor
     out = fwd(variables, x)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_bwd_env_gate_routes_to_stock_autodiff(monkeypatch):
+    """COBEVT_FLASH_BWD=0 must produce the same values and gradients via
+    plain XLA autodiff (the on-HW A/B lever for validate_kernels
+    --train)."""
+    import jax
+
+    q, k, v, bias, mask = data()
+
+    def loss(q, k, v):
+        return fused_window_attention(q, k, v, bias, mask,
+                                      interpret=True).sum()
+
+    out_flash = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("COBEVT_FLASH_BWD", "0")
+    out_stock = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(out_flash, out_stock):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
