@@ -5,6 +5,7 @@ from cobevt_tpu.parallel.mesh import (
     tensor_parallel_spec,
     shard_batch,
     cooperative_batch_sharding,
+    replicated,
 )
 from cobevt_tpu.parallel.distributed import (
     ClusterSpec,

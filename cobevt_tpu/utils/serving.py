@@ -39,10 +39,21 @@ class BucketedRunner:
         "agent_mask": 1,
     }
 
-    def __init__(self, model, variables):
+    def __init__(self, model, variables, data_sharding=None):
+        """`data_sharding`: optional `jax.sharding.NamedSharding` (batch
+        axis over a mesh's "data" axis) for data-parallel serving — every
+        sliced batch is placed with it, so the per-agent-count jits run
+        sharded over the mesh instead of on device 0.  Pass variables
+        already placed (replicated) on the same mesh."""
         self.model = model
         self.variables = variables
+        self.data_sharding = data_sharding
         self._fns: Dict[int, callable] = {}
+
+    def _place(self, value):
+        if self.data_sharding is None:
+            return value
+        return jax.device_put(value, self.data_sharding)
 
     def _fn(self, n_agents: int):
         if n_agents not in self._fns:
@@ -67,7 +78,7 @@ class BucketedRunner:
             if key == "pairwise_t_matrix" and sliced.ndim >= 3:
                 sliced = np.take(sliced, np.arange(n), axis=axis + 1)
             out[key] = sliced
-        return out
+        return {k: self._place(v) for k, v in out.items()}
 
     def __call__(self, batch):
         """batch: padded sample dict with `agent_mask`; runs the model on
@@ -87,8 +98,8 @@ class StagedBucketedRunner(BucketedRunner):
     to the full padded forward for ANY fusion-mean semantics, including
     the reference's mean-over-max_cav."""
 
-    def __init__(self, model, variables, max_cav: int):
-        super().__init__(model, variables)
+    def __init__(self, model, variables, max_cav: int, data_sharding=None):
+        super().__init__(model, variables, data_sharding=data_sharding)
         self.max_cav = max_cav
         self._enc_fns: Dict[int, callable] = {}
         model_ = model
@@ -118,8 +129,9 @@ class StagedBucketedRunner(BucketedRunner):
         agent_bev = self._enc(n)(self.variables, self._slice(batch, n))
         pad = self.max_cav - n
         if pad:
-            agent_bev = np.pad(np.asarray(agent_bev),
-                               ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
-        fuse_batch = {k: batch[k] for k in ("transformation_matrix",
-                                            "agent_mask")}
+            agent_bev = self._place(
+                np.pad(np.asarray(agent_bev),
+                       ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0))))
+        fuse_batch = {k: self._place(batch[k])
+                      for k in ("transformation_matrix", "agent_mask")}
         return self._fuse(self.variables, fuse_batch, agent_bev)

@@ -69,3 +69,36 @@ def test_staged_bucketing_exact_for_reference_default():
     plain_out = plain(batch_2live)
     assert np.abs(np.asarray(plain_out["dynamic_seg"]) -
                   np.asarray(padded_out["dynamic_seg"])).max() > 1e-3
+
+
+@pytest.mark.slow
+def test_staged_bucketing_data_parallel_over_mesh():
+    """The staged-bucketed serving path run data-parallel over a device
+    mesh (data_sharding=P("data")) must agree with the single-device
+    padded forward and actually distribute the batch — the serving-side
+    counterpart of test_train_multichip's loss-parity checks."""
+    from cobevt_tpu.parallel import batch_sharding, make_mesh, replicated
+    from cobevt_tpu.utils.serving import StagedBucketedRunner
+
+    cfg = tiny_config(max_cav=3)
+    model = CorpBEVT(cfg)
+    B = 4
+    batch = tiny_batch(B=B, L=3)
+    mask = np.zeros((B, 3), np.float32)
+    mask[:, :2] = 1
+    batch = dict(batch, agent_mask=jnp.asarray(mask))
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+
+    padded_out = jax.jit(lambda v, b: model.apply(v, b, False))(
+        variables, batch)["dynamic_seg"]
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    runner = StagedBucketedRunner(
+        model, jax.device_put(variables, replicated(mesh)), max_cav=3,
+        data_sharding=batch_sharding(mesh))
+    served = runner(batch)["dynamic_seg"]
+
+    assert len(served.sharding.device_set) == 8, served.sharding
+    np.testing.assert_allclose(np.asarray(served, np.float32),
+                               np.asarray(padded_out, np.float32),
+                               atol=2e-4, rtol=1e-3)
