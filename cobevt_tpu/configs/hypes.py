@@ -198,6 +198,9 @@ def corpbevt_config_from_hypes(hypes: dict) -> CorpBEVTConfig:
         max_cav=args.get("max_cav", 1), target=args["target"],
         encoder_num_layers=enc["num_layers"],
         encoder_id_pick=tuple(enc["id_pick"]),
+        # beyond the reference yaml: training-only trunk gradient
+        # checkpointing (docs/DESIGN.md round 4)
+        encoder_remat=bool(enc.get("remat", False)),
         image_height=enc["image_height"], image_width=enc["image_width"],
         fax=fax, compression=args.get("compression", 0),
         sttf_resolution=sttf.get("resolution", 0.390625),

@@ -38,6 +38,10 @@ class CorpBEVTConfig:
     # encoder
     encoder_num_layers: int = 34
     encoder_id_pick: Tuple[int, ...] = (1, 2, 3)
+    # training-only gradient checkpointing of the trunk blocks (frees
+    # the 512^2-spatial activations between blocks for larger per-chip
+    # batches; no effect on eval)
+    encoder_remat: bool = False
     image_height: int = 512
     image_width: int = 512
     # fax (backbone_output_shape auto-derived if empty)
@@ -111,7 +115,9 @@ class CorpBEVT(nn.Module):
 
             feats = ResNetEncoder(cfg.encoder_num_layers,
                                   cfg.encoder_id_pick,
-                                  dtype=self.dtype, name="encoder")(
+                                  dtype=self.dtype,
+                                  remat=cfg.encoder_remat,
+                                  name="encoder")(
                 x, train)
             x = FAXModule(cfg.resolved_fax(), dtype=self.dtype,
                           name="fax")(
@@ -177,7 +183,8 @@ class SinBEVT(nn.Module):
         cfg = self.config
         x = images_from_uint8(batch["inputs"])
         feats = ResNetEncoder(cfg.encoder_num_layers, cfg.encoder_id_pick,
-                              dtype=self.dtype, name="encoder")(x, train)
+                              dtype=self.dtype, remat=cfg.encoder_remat,
+                              name="encoder")(x, train)
         x = FAXModule(cfg.resolved_fax(), dtype=self.dtype, name="fax")(
             feats, batch["intrinsic"], batch["extrinsic"], train)
         y = NaiveDecoder(x.shape[-1], cfg.decoder_num_layer,

@@ -307,6 +307,17 @@ class CrossWinAttentionParams(nn.Module):
         }
 
 
+def fused_xattn_train() -> bool:
+    """COBEVT_FUSED_XATTN_TRAIN=1 runs the fused cross-view stages in
+    TRAINING too (the cross-attention branches carry no dropout, so the
+    fused region is semantics-identical).  Off by default: the fused
+    path was measured ~5% slower per train step under the old all-f32
+    composite backward; the flag is the A/B lever for re-measuring
+    after backward-path changes (docs/DESIGN.md round 4)."""
+    import os
+    return os.environ.get("COBEVT_FUSED_XATTN_TRAIN", "0") == "1"
+
+
 def fused_xattn_ok(n_q_tokens: int, heads: int, n_k_tokens: int,
                    H: int, W: int, q_win, h: int, w: int, k_win,
                    dim_head: int = 32) -> bool:
@@ -408,7 +419,7 @@ class CrossViewSwapAttention(nn.Module):
         # recompute backward) but measured ~5% slower per train step than
         # the stock path's stored-intermediate autodiff at these batch
         # sizes — keep training on the stock modules, inference fused
-        use_fused = (not train) and fused_xattn_ok(
+        use_fused = (not train or fused_xattn_train()) and fused_xattn_ok(
             nq * self.q_win_size[0] * self.q_win_size[1], self.heads,
             n * self.feat_win_size[0] * self.feat_win_size[1],
             H, W, self.q_win_size, kh, kw_, self.feat_win_size,
@@ -465,7 +476,8 @@ class CrossViewSwapAttention(nn.Module):
         # attention outputs are identical, and the mean over n is the
         # identity.  Computing with a single copy is exact and cuts the
         # grid branch's q-side work n-fold.
-        use_fused_g = (not train) and fused_xattn_ok(
+        use_fused_g = (not train or fused_xattn_train()) \
+            and fused_xattn_ok(
             self.q_win_size[0] * self.q_win_size[1], self.heads,
             n * self.feat_win_size[0] * self.feat_win_size[1],
             H, W, self.q_win_size, kh, kw_, self.feat_win_size,

@@ -31,10 +31,15 @@ _SPECS = {
 _WIDTHS = (64, 128, 256, 512)
 
 
-def _stage(x, block, planes, depth, stride, dtype, prefix, train):
+def _stage(x, block, planes, depth, stride, dtype, prefix, train,
+           remat=False):
     """One ResNet stage; blocks named `<prefix>_<j>` (flattened torch
     `layer<i>.<j>` path)."""
     Block = BasicBlock if block == "basic" else Bottleneck
+    if remat and train:
+        # remat trades FLOPs for activation memory in the backward —
+        # same training-only policy as the EfficientNet trunk
+        Block = nn.remat(Block, static_argnums=(2,))
     expansion = 1 if block == "basic" else 4
     for j in range(depth):
         s = stride if j == 0 else 1
@@ -50,6 +55,7 @@ class ResNetTrunk(nn.Module):
 
     num_layers: int = 34
     dtype: Any = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -64,7 +70,7 @@ class ResNetTrunk(nn.Module):
         for i in range(4):
             stride = 1 if i == 0 else 2
             x = _stage(x, block, _WIDTHS[i], depths[i], stride,
-                       self.dtype, f"layer{i + 1}", train)
+                       self.dtype, f"layer{i + 1}", train, self.remat)
             outs.append(x)
         return outs
 
@@ -83,6 +89,7 @@ class ResNetEncoder(nn.Module):
     num_layers: int = 34
     id_pick: Sequence[int] = (1, 2, 3)
     dtype: Any = None
+    remat: bool = False
 
     @staticmethod
     def output_shapes(num_layers: int, id_pick, image_hw: Tuple[int, int]):
@@ -100,6 +107,6 @@ class ResNetEncoder(nn.Module):
         B, L, M, H, W, C = images.shape
         x = images.reshape(B * L * M, H, W, C)
         outs = ResNetTrunk(self.num_layers, dtype=self.dtype,
-                           name="encoder")(x, train)
+                           remat=self.remat, name="encoder")(x, train)
         picked = [outs[i] for i in self.id_pick]
         return [f.reshape(B, L, M, *f.shape[1:]) for f in picked]

@@ -44,6 +44,7 @@ from cobevt_tpu.ops.window_attention import (
     _head_blockmask,
     _head_expander,
     _head_indicator,
+    fused_window_attention_packed,
 )
 
 NEG_INF = -1e9
@@ -265,8 +266,19 @@ def _pack_params(params, D, C, dtype, mlp=None, post_ln=None):
 
 def _xla_composite(x, w_embed, c_embed, key, val, params, q_win, k_win,
                    n_heads, scale, add_skip, compute_dtype,
-                   mlp=None, post_ln=None):
-    """Stock-math fallback, mirroring models/fax.py CrossWinAttention."""
+                   mlp=None, post_ln=None, use_pallas=False,
+                   interpret=False):
+    """Stock-math fallback, mirroring models/fax.py CrossWinAttention.
+
+    The attention core routes through `fused_window_attention_packed`
+    — the same flash-identity custom-VJP op the non-fused module path
+    uses (models/fax.py:262) — so differentiating this composite (the
+    fused stage's backward, `_cva_bwd`) saves/streams only bf16
+    (Tq,Tk)-sized tensors instead of the f32 softmax residuals stock
+    autodiff keeps (trace: 1.3 GB per stage-0 tensor, docs/DESIGN.md
+    round 4), and the backward's recompute runs the Pallas kernel when
+    `use_pallas` on TPU.  With f32 inputs (the CPU parity suite) the
+    packed reference is the identical f32 einsum chain."""
     B, H, W, D = x.shape
     n = key.shape[1]
     wh, ww = q_win
@@ -310,17 +322,13 @@ def _xla_composite(x, w_embed, c_embed, key, val, params, q_win, k_win,
         params["wv"].astype(compute_dtype) + \
         params["bv"].astype(compute_dtype)
 
-    def heads(t):
-        *lead, T, CC = t.shape
-        return t.reshape(*lead, T, n_heads, CC // n_heads)
-
-    qh, kh_, vh = heads(q), heads(k), heads(v)
-    sim = jnp.einsum("bwqhd,bwkhd->bwhqk", qh, kh_,
-                     preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn,
-                     vh.astype(jnp.float32))
-    out = out.reshape(*out.shape[:-2], C)
+    Bq, nwin, Tq, _ = q.shape
+    Tk = k.shape[2]
+    out = fused_window_attention_packed(
+        q.reshape(Bq * nwin, Tq, C), k.reshape(Bq * nwin, Tk, C),
+        v.reshape(Bq * nwin, Tk, C), n_heads,
+        use_pallas=use_pallas, interpret=interpret)
+    out = out.reshape(Bq, nwin, Tq, C)
     out = out.astype(compute_dtype) @ params["wo"].astype(compute_dtype) \
         + params["bo"].astype(jnp.float32)
     # mean over cameras, un-window, skip
@@ -360,7 +368,9 @@ def _forward_impl(x, w_embed, c_embed, key, val, params, mlp, post_ln,
                           and not interpret):
         return _xla_composite(x, w_embed, c_embed, key, val, params,
                               q_win, k_win, n_heads, scale, add_skip,
-                              compute_dtype, mlp, post_ln)
+                              compute_dtype, mlp, post_ln,
+                              use_pallas=use_pallas,
+                              interpret=interpret)
 
     C = params["wq"].shape[1]
     packed, slices = _pack_params(params, D, C, compute_dtype, mlp,
@@ -439,7 +449,8 @@ def _cva_bwd(q_win, k_win, n_heads, scale, add_skip, use_pallas,
     def composite(x, w_embed, c_embed, key, val, params, mlp, post_ln):
         return _xla_composite(x, w_embed, c_embed, key, val, params,
                               q_win, k_win, n_heads, scale, add_skip,
-                              x.dtype, mlp, post_ln)
+                              x.dtype, mlp, post_ln,
+                              use_pallas=use_pallas, interpret=interpret)
 
     _, vjp = jax.vjp(composite, *res)
     return vjp(g)

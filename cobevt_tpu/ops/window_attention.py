@@ -208,9 +208,15 @@ def _fused_bwd(use_pallas, interpret, res, g):
                    preferred_element_type=jnp.float32)
     dv = jnp.einsum("ghqk,ghqd->ghkd", p, g,
                     preferred_element_type=jnp.float32)
+    # cast at the einsum epilogue: dp is (G,H,Tq,Tk)-sized, and an f32
+    # einsum output materializes in HBM before the ds fusion consumes
+    # it (profiled round 4: 1.3GB f32 tensor, the top train-step
+    # program) — in dt the convert fuses into the einsum and only the
+    # half-width tensor is ever written
     dp = jnp.einsum("ghqd,ghkd->ghqk", g, v,
-                    preferred_element_type=jnp.float32)
-    ds = (p.astype(jnp.float32) * (dp - s[..., None])).astype(dt)
+                    preferred_element_type=jnp.float32).astype(dt)
+    ds = (p.astype(jnp.float32) *
+          (dp.astype(jnp.float32) - s[..., None])).astype(dt)
     dq = jnp.einsum("ghqk,ghkd->ghqd", ds, k,
                     preferred_element_type=jnp.float32)
     dk = jnp.einsum("ghqk,ghqd->ghkd", ds, q,
@@ -549,16 +555,22 @@ def _fused_packed_bwd(n_heads, use_pallas, interpret, res, g):
                    preferred_element_type=jnp.float32)
     dv4 = jnp.einsum("ghqk,ghqd->ghkd", a, g4,
                      preferred_element_type=jnp.float32)
+    # cast at the einsum epilogue — an f32 (G,H,Tq,Tk) einsum output
+    # materializes in HBM before its consumer fusion (profiled round 4:
+    # the 1.3GB f32 `da` was the top train-step program, fusion.10187);
+    # in dt only the half-width tensor is written
     da = jnp.einsum("ghqd,ghkd->ghqk", g4, v4,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32).astype(dt)
     dweight = None
     if w4 is not None:
-        dw4 = (p.astype(jnp.float32) * da).astype(weight.dtype)
+        dw4 = (p.astype(jnp.float32) *
+               da.astype(jnp.float32)).astype(weight.dtype)
         dweight = dw4.transpose(0, 2, 1, 3).reshape(weight.shape)
         ds = da * w4.astype(da.dtype)
     else:
         ds = da
-    dsim = (p.astype(jnp.float32) * (ds - s[..., None])).astype(dt)
+    dsim = (p.astype(jnp.float32) *
+            (ds.astype(jnp.float32) - s[..., None])).astype(dt)
     dq4 = jnp.einsum("ghqk,ghkd->ghqd", dsim, k4,
                      preferred_element_type=jnp.float32)
     dk4 = jnp.einsum("ghqk,ghqd->ghkd", dsim, q4,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -48,6 +49,15 @@ def parse_args():
     p.add_argument("--no_donate", action="store_true",
                    help="train mode: keep the input state (debug path); "
                         "default donates it into the step")
+    p.add_argument("--remat", action="store_true",
+                   help="corpbevt train A/B: gradient-checkpoint the "
+                        "ResNet trunk blocks (encoder_remat)")
+    p.add_argument("--no_grad_norm", action="store_true",
+                   help="train A/B: drop the per-step global grad-norm "
+                        "logging reduction")
+    p.add_argument("--fused_xattn_train", action="store_true",
+                   help="train A/B: run the fused cross-view kernels "
+                        "in the train step (COBEVT_FUSED_XATTN_TRAIN=1)")
     return p.parse_args()
 
 
@@ -261,7 +271,9 @@ def measure_train(model, model_name, batch, opt):
     # inside the scan inlines it, so the K-step chain is ONE XLA program
     from cobevt_tpu.train.step import make_train_step
 
-    loss_and_grad_step = make_train_step(model, criterion, donate=False)
+    loss_and_grad_step = make_train_step(
+        model, criterion, donate=False,
+        log_grad_norm=not opt.no_grad_norm)
 
     K, K_big = opt.iters, 3 * opt.iters
 
@@ -310,6 +322,9 @@ def measure_train(model, model_name, batch, opt):
         "precision": "bf16" if opt.bf16 else "fp32",
         "batch": opt.batch,
         "donate": not opt.no_donate,
+        "remat": opt.remat,
+        "grad_norm_logged": not opt.no_grad_norm,
+        "fused_xattn_train": opt.fused_xattn_train,
         "clock": "two-K differenced",
         "ms_per_step": round(dt * 1000, 3),
         "steps_per_sec": round(1.0 / dt, 3),
@@ -321,6 +336,8 @@ def measure_train(model, model_name, batch, opt):
 
 def main():
     opt = parse_args()
+    if opt.fused_xattn_train:
+        os.environ["COBEVT_FUSED_XATTN_TRAIN"] = "1"
     import jax
 
     from cobevt_tpu.utils.jaxcache import enable_compilation_cache
@@ -331,6 +348,14 @@ def main():
                "sinbevt_nuscenes": build_sinbevt_nuscenes,
                "pointpillar": build_pointpillar}[opt.model]
     model, batch, chain_key = builder(opt.bf16, opt.max_cav)
+
+    if opt.remat:
+        import dataclasses
+        if not (hasattr(model, "config") and
+                hasattr(model.config, "encoder_remat")):
+            raise SystemExit("--remat: model has no encoder_remat knob")
+        model = model.clone(config=dataclasses.replace(
+            model.config, encoder_remat=True))
 
     if opt.train:
         measure_train(model, opt.model, batch, opt)

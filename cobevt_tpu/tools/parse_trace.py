@@ -79,6 +79,51 @@ def module_key(ev, depth: int, by: str):
     return "/".join(parts[:depth])
 
 
+_CONTAINERS = {"while", "conditional", "call", "fusion_root"}
+
+
+def bandwidth_report(events, pids):
+    """Measured roofline position from the trace itself.
+
+    Sums `bytes_accessed` over leaf device ops (container categories
+    like `while` excluded — their byte counts are not the sum of their
+    bodies) and divides by summed leaf device time.  Unlike
+    `cost_analysis()` on the whole program — which counts logical
+    operand bytes per HLO and can exceed the physical bus (see
+    utils/flops.py) — these are the per-program counts the profiler
+    attributes to executed code, so GB/s here is comparable to the
+    chip's physical peak."""
+    total_us = 0.0
+    total_bytes = 0
+    by_cat = collections.defaultdict(lambda: [0.0, 0])
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in pids:
+            continue
+        args = e.get("args") or {}
+        cat = args.get("hlo_category")
+        if cat is None or cat in _CONTAINERS:
+            continue
+        dur = float(e.get("dur", 0.0))
+        b = int(args.get("bytes_accessed", 0))
+        total_us += dur
+        total_bytes += b
+        by_cat[cat][0] += dur
+        by_cat[cat][1] += b
+    cats = [
+        {"category": c, "ms": round(d / 1e3, 3),
+         "gb": round(bb / 1e9, 3),
+         "gbs": round(bb / 1e9 / (d / 1e6), 1) if d else None}
+        for c, (d, bb) in sorted(by_cat.items(), key=lambda kv: -kv[1][0])
+    ]
+    return {
+        "leaf_device_ms": round(total_us / 1e3, 3),
+        "bytes_gb": round(total_bytes / 1e9, 3),
+        "achieved_gbs": round(total_bytes / 1e9 / (total_us / 1e6), 1)
+        if total_us else None,
+        "by_category": cats,
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("cobevt_tpu trace table")
     ap.add_argument("trace_dir")
@@ -86,6 +131,9 @@ def main(argv=None):
                     help="name-scope segments to keep per module key")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--by", choices=["module", "op"], default="module")
+    ap.add_argument("--bandwidth", action="store_true",
+                    help="report measured bytes/s from leaf device ops "
+                         "(roofline position, trace-attributed)")
     ap.add_argument("--json", action="store_true",
                     help="emit the full table as one JSON line")
     opt = ap.parse_args(argv)
@@ -96,6 +144,20 @@ def main(argv=None):
         return 2
     events = load_events(files[-1])
     pids = device_pids(events)
+
+    if opt.bandwidth:
+        rep = bandwidth_report(events, pids)
+        rep["trace"] = files[-1]
+        if opt.json:
+            print(json.dumps(rep))
+        else:
+            print(f"leaf device time {rep['leaf_device_ms']:.1f} ms, "
+                  f"{rep['bytes_gb']:.2f} GB accessed -> "
+                  f"{rep['achieved_gbs']} GB/s")
+            for c in rep["by_category"][:opt.top]:
+                print(f"  {c['ms']:9.2f} ms {c['gb']:8.2f} GB "
+                      f"{(c['gbs'] or 0):7.1f} GB/s  {c['category']}")
+        return 0
 
     total_us = 0.0
     table = collections.defaultdict(float)

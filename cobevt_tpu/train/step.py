@@ -20,12 +20,15 @@ from cobevt_tpu.train.state import TrainState
 
 
 def make_train_step(model, criterion, mesh=None, use_tp: bool = True,
-                    donate: bool = True):
+                    donate: bool = True, log_grad_norm: bool = True):
     """Build a jitted train step:  (state, batch, rng) -> (state, logs).
 
     ``criterion(output, batch) -> (loss, parts_dict)``.
     If ``mesh`` is given, input/output shardings are pinned: batch over
     "data", state per tensor-parallel rules.
+    ``log_grad_norm=False`` drops the global-norm reduction over every
+    parameter leaf from the step (pure observability — the reference
+    loop logs loss only, opv2v/opencood/tools/train_camera.py:150-162).
     """
 
     def step(state: TrainState, batch, rng):
@@ -50,7 +53,8 @@ def make_train_step(model, criterion, mesh=None, use_tp: bool = True,
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         logs = dict(parts)
         logs["loss"] = loss
-        logs["grad_norm"] = optax_global_norm(grads)
+        if log_grad_norm:
+            logs["grad_norm"] = optax_global_norm(grads)
         return new_state, logs
 
     # Sharding is carried by the argument placements (see `place_state` /

@@ -70,6 +70,36 @@ def test_opcode_mode(tmp_path, capsys):
     assert rows["convolution"]["ms"] == 1.0
 
 
+def test_bandwidth_report(tmp_path, capsys):
+    events = [
+        {"ph": "M", "pid": 1, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        # container: excluded from leaf sums
+        {"ph": "X", "pid": 1, "ts": 0, "dur": 5000.0, "name": "while.1",
+         "args": {"hlo_category": "while", "bytes_accessed": "999999"}},
+        {"ph": "X", "pid": 1, "ts": 0, "dur": 1000.0, "name": "fusion.1",
+         "args": {"hlo_category": "convolution fusion",
+                  "bytes_accessed": str(2 * 10 ** 9)}},
+        {"ph": "X", "pid": 1, "ts": 2, "dur": 1000.0, "name": "copy.2",
+         "args": {"hlo_category": "copy-done",
+                  "bytes_accessed": str(1 * 10 ** 9)}},
+    ]
+    d = tmp_path / "p"
+    d.mkdir()
+    p = d / "h.trace.json.gz"
+    with gzip.open(p, "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    assert main([str(tmp_path), "--bandwidth", "--json"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["leaf_device_ms"] == 2.0
+    assert out["bytes_gb"] == 3.0
+    # 3 GB over 2 ms = 1500 GB/s
+    assert out["achieved_gbs"] == 1500.0
+    cats = {c["category"]: c for c in out["by_category"]}
+    assert cats["convolution fusion"]["gb"] == 2.0
+    assert "while" not in cats
+
+
 def test_depth_key():
     ev = {"name": "fusion.7",
           "args": {"tf_op": "jit(f)/a/b/c/d"}}
