@@ -82,7 +82,7 @@ def module_key(ev, depth: int, by: str):
 _CONTAINERS = {"while", "conditional", "call", "fusion_root"}
 
 
-def bandwidth_report(events, pids):
+def bandwidth_report(events, pids, by="category"):
     """Measured roofline position from the trace itself.
 
     Sums `bytes_accessed` over leaf device ops (container categories
@@ -92,7 +92,10 @@ def bandwidth_report(events, pids):
     operand bytes per HLO and can exceed the physical bus (see
     utils/flops.py) — these are the per-program counts the profiler
     attributes to executed code, so GB/s here is comparable to the
-    chip's physical peak."""
+    chip's physical peak.  `by="op"` groups rows by HLO op-name class
+    (e.g. `convert_reduce_fusion`) instead of the coarse category, so
+    a single hot fusion family's roofline position can be read off
+    directly."""
     total_us = 0.0
     total_bytes = 0
     by_cat = collections.defaultdict(lambda: [0.0, 0])
@@ -107,6 +110,9 @@ def bandwidth_report(events, pids):
         b = int(args.get("bytes_accessed", 0))
         total_us += dur
         total_bytes += b
+        if by == "op":
+            m = re.match(r"%?([a-zA-Z_\-]+)[\.\d]*", e.get("name", ""))
+            cat = m.group(1) if m else e.get("name", "")
         by_cat[cat][0] += dur
         by_cat[cat][1] += b
     cats = [
@@ -146,7 +152,8 @@ def main(argv=None):
     pids = device_pids(events)
 
     if opt.bandwidth:
-        rep = bandwidth_report(events, pids)
+        rep = bandwidth_report(events, pids, by=opt.by if opt.by == "op"
+                               else "category")
         rep["trace"] = files[-1]
         if opt.json:
             print(json.dumps(rep))
