@@ -32,6 +32,11 @@ from cobevt_tpu.ops.conv2d import (
     fused_conv3x3,
     fused_conv3x3_int8,
 )
+from cobevt_tpu.ops.int8_chain import (
+    INTERMEDIATE_HEADROOM,
+    conv3x3_s8,
+    quantize_kernel_per_out,
+)
 
 
 def gelu(x):
@@ -230,7 +235,12 @@ class BasicBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, int8_state=None):
+        # int8-resident narrow-stage serving path (COBEVT_INT8=1): the
+        # trunk hands the block an int8 tensor plus the region scale;
+        # see ops/int8_chain.py and ResNetTrunk for the region protocol
+        if int8_state is not None:
+            return self._int8_resident_eval(x, *int8_state)
         # strided blocks stay fully on XLA: their conv1/downsample would
         # split across backends and the custom-call boundary costs more
         # than the fused conv2 saves (measured)
@@ -282,6 +292,31 @@ class BasicBlock(nn.Module):
         k2 = ConvKernelParams(3, self.planes, self.planes, name="conv2")()
         w2, t2 = fold_bn(k2, *BNParams(self.planes, name="bn2")())
         return conv(out, w2, t2, residual=identity, relu=True)
+
+    def _int8_resident_eval(self, xq, s_in, s_out, out_dtype):
+        """COBEVT_INT8=1 bandwidth path for narrow stride-1 blocks:
+        activations arrive as int8 at scale `s_in` and leave as int8 at
+        `s_out` (the region's growing schedule — residual chains
+        accumulate) or as `out_dtype` when `s_out` is None (region
+        exit, dequantize fused into conv2's epilogue instead of a
+        separate pass).  Both convs run s8 x s8 -> s32 on the MXU with
+        rescale+ReLU+requantize fused in (ops/int8_chain.py).  Declares
+        the identical parameter tree as the stock / fused paths."""
+        assert self.stride == 1 and not self.downsample, \
+            "int8-resident path covers stride-1 blocks without downsample"
+        cin = xq.shape[-1]
+        k1 = ConvKernelParams(3, cin, self.planes, name="conv1")()
+        w1, t1 = fold_bn(k1, *BNParams(self.planes, name="bn1")())
+        w1q, s1 = quantize_kernel_per_out(w1)
+        s_mid = s_in * INTERMEDIATE_HEADROOM
+        h = conv3x3_s8(xq, s_in, w1q, s1, t1, relu=True, out_scale=s_mid)
+        k2 = ConvKernelParams(3, self.planes, self.planes, name="conv2")()
+        w2, t2 = fold_bn(k2, *BNParams(self.planes, name="bn2")())
+        w2q, s2 = quantize_kernel_per_out(w2)
+        return conv3x3_s8(h, s_mid, w2q, s2, t2, relu=True,
+                          out_scale=s_out,
+                          residual_q=xq, residual_scale=s_in,
+                          out_dtype=out_dtype)
 
 
 class Bottleneck(nn.Module):

@@ -13,12 +13,14 @@ dummy forward (shapes are static under jit anyway).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from cobevt_tpu.nn.layers import BasicBlock, Bottleneck, batch_norm, torch_conv
+from cobevt_tpu.ops.int8_chain import BLOCK_GROWTH, quantize_dynamic
 
 # (block type, per-stage depths, stage base widths)
 _SPECS = {
@@ -69,10 +71,43 @@ class ResNetTrunk(nn.Module):
         outs = []
         for i in range(4):
             stride = 1 if i == 0 else 2
-            x = _stage(x, block, _WIDTHS[i], depths[i], stride,
-                       self.dtype, f"layer{i + 1}", train, self.remat)
+            if i == 0 and self._int8_layer1_active(block, train):
+                x = self._int8_layer1(x, depths[0])
+            else:
+                x = _stage(x, block, _WIDTHS[i], depths[i], stride,
+                           self.dtype, f"layer{i + 1}", train, self.remat)
             outs.append(x)
         return outs
+
+    @staticmethod
+    def _int8_layer1_active(block, train):
+        """layer1 is the one bandwidth-bound narrow stage (C=64, full
+        1/4-resolution maps) — under the lossy COBEVT_INT8=1 serving
+        opt-in it runs int8-RESIDENT: measured 2.2x over the bf16 chain
+        at the CorpBEVT shape (docs/DESIGN.md round 4; accuracy gated
+        on HW by tools/validate_kernels.py).  Basic blocks only (the
+        bottleneck layer1 carries a downsample projection);
+        COBEVT_INT8_RESIDENT=0 isolates this lever from the C>=256
+        int8 kernel for A/Bs."""
+        return (not train and block == "basic"
+                and os.environ.get("COBEVT_INT8", "0") == "1"
+                and os.environ.get("COBEVT_INT8_RESIDENT", "1") == "1")
+
+    def _int8_layer1(self, x, depth):
+        """Quantize once, run every layer1 block int8-resident on the
+        geometric scale schedule (s0 * BLOCK_GROWTH**j — residual
+        chains grow), and let the last block's conv2 epilogue
+        dequantize back to `x.dtype` — region protocol of
+        ops/int8_chain.py."""
+        xq, s0 = quantize_dynamic(x)
+        for j in range(depth):
+            last = j == depth - 1
+            s_in = s0 * (BLOCK_GROWTH ** j)
+            s_out = None if last else s_in * BLOCK_GROWTH
+            xq = BasicBlock(_WIDTHS[0], 1, downsample=False,
+                            dtype=self.dtype, name=f"layer1_{j}")(
+                xq, False, (s_in, s_out, x.dtype))
+        return xq
 
 
 class ResNetEncoder(nn.Module):
