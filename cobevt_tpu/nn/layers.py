@@ -309,14 +309,22 @@ class BasicBlock(nn.Module):
         w1, t1 = fold_bn(k1, *BNParams(self.planes, name="bn1")())
         w1q, s1 = quantize_kernel_per_out(w1)
         s_mid = s_in * INTERMEDIATE_HEADROOM
-        h = conv3x3_s8(xq, s_in, w1q, s1, t1, relu=True, out_scale=s_mid)
+        h, sat1 = conv3x3_s8(xq, s_in, w1q, s1, t1, relu=True,
+                             out_scale=s_mid, with_sat=True)
         k2 = ConvKernelParams(3, self.planes, self.planes, name="conv2")()
         w2, t2 = fold_bn(k2, *BNParams(self.planes, name="bn2")())
         w2q, s2 = quantize_kernel_per_out(w2)
-        return conv3x3_s8(h, s_mid, w2q, s2, t2, relu=True,
-                          out_scale=s_out,
-                          residual_q=xq, residual_scale=s_in,
-                          out_dtype=out_dtype)
+        out, sat2 = conv3x3_s8(h, s_mid, w2q, s2, t2, relu=True,
+                               out_scale=s_out,
+                               residual_q=xq, residual_scale=s_in,
+                               out_dtype=out_dtype, with_sat=True)
+        # saturation telemetry: visible under mutable=["intermediates"]
+        # (validate_kernels int8 gate); DCE'd in plain serving.  Skipped
+        # at init so the flag cannot change the variable tree.
+        if not self.is_initializing():
+            self.sow("intermediates", "int8_sat_frac",
+                     jnp.maximum(sat1, sat2))
+        return out
 
 
 class Bottleneck(nn.Module):

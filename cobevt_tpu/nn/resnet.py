@@ -88,7 +88,13 @@ class ResNetTrunk(nn.Module):
         on HW by tools/validate_kernels.py).  Basic blocks only (the
         bottleneck layer1 carries a downsample projection);
         COBEVT_INT8_RESIDENT=0 isolates this lever from the C>=256
-        int8 kernel for A/Bs."""
+        int8 kernel for A/Bs.
+
+        Both env vars are read at TRACE time: set them before the first
+        jit compilation of the serving function.  A function compiled
+        earlier keeps the behavior it was traced with (the jit cache is
+        not keyed on these flags — unlike COBEVT_FLASH_BWD, which is
+        threaded as a static argument)."""
         return (not train and block == "basic"
                 and os.environ.get("COBEVT_INT8", "0") == "1"
                 and os.environ.get("COBEVT_INT8_RESIDENT", "1") == "1")

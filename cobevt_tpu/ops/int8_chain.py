@@ -67,7 +67,7 @@ def quantize_kernel_per_out(w):
 
 def conv3x3_s8(xq, sx, wq, sw, t, *, relu=True, out_scale=None,
                residual_q=None, residual_scale=None,
-               out_dtype=jnp.bfloat16):
+               out_dtype=jnp.bfloat16, with_sat=False):
     """One 3x3 stride-1 SAME conv on int8-resident activations.
 
     acc = conv_s8xs8(x_q, w_q) in int32 on the MXU; the f32 epilogue
@@ -85,6 +85,17 @@ def conv3x3_s8(xq, sx, wq, sw, t, *, relu=True, out_scale=None,
     if relu:
         f = jax.nn.relu(f)
     if out_scale is None:
-        return f.astype(out_dtype)
-    return jnp.clip(jnp.round(f / out_scale), -127.0, 127.0).astype(
-        jnp.int8)
+        out = f.astype(out_dtype)
+        if with_sat:
+            return out, jnp.zeros((), jnp.float32)  # exit: no requantize
+        return out
+    ticks = jnp.round(f / out_scale)
+    out = jnp.clip(ticks, -127.0, 127.0).astype(jnp.int8)
+    if with_sat:
+        # Fraction of values the static schedule clips — the silent
+        # failure mode for checkpoints whose post-BN ranges exceed the
+        # calibrated INTERMEDIATE_HEADROOM/BLOCK_GROWTH.  Consumers sow
+        # it; unconsumed (plain serving) XLA dead-code-eliminates it.
+        sat = jnp.mean((jnp.abs(ticks) > 127.0).astype(jnp.float32))
+        return out, sat
+    return out

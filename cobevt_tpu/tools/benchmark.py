@@ -58,6 +58,10 @@ def parse_args():
     p.add_argument("--fused_xattn_train", action="store_true",
                    help="train A/B: run the fused cross-view kernels "
                         "in the train step (COBEVT_FUSED_XATTN_TRAIN=1)")
+    p.add_argument("--int8", action="store_true",
+                   help="serving A/B: the lossy COBEVT_INT8=1 PTQ mode "
+                        "(C>=256 in-kernel int8 + int8-resident layer1; "
+                        "accuracy gated by tools/validate_kernels.py)")
     return p.parse_args()
 
 
@@ -338,6 +342,8 @@ def main():
     opt = parse_args()
     if opt.fused_xattn_train:
         os.environ["COBEVT_FUSED_XATTN_TRAIN"] = "1"
+    if opt.int8:
+        os.environ["COBEVT_INT8"] = "1"   # trace-time flag: set before jit
     import jax
 
     from cobevt_tpu.utils.jaxcache import enable_compilation_cache
@@ -402,6 +408,7 @@ def main():
     print(json.dumps({
         "model": opt.model,
         "precision": "bf16" if opt.bf16 else "fp32",
+        "int8": opt.int8,
         "batch": opt.batch,
         "clock": "two-K differenced",
         "latency_ms": round(dt * 1000, 3),

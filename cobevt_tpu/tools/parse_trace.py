@@ -56,7 +56,15 @@ def device_pids(events):
     dev = {p for p, n in names.items()
            if re.search(r"TPU|/device|XLA Op|TensorCore", n, re.I)
            and not re.search(r"Host|python", n, re.I)}
-    return dev or set(names)
+    if not dev:
+        # Fallback includes host lanes — tables would silently mix host
+        # time into device attribution; make that visible.
+        print("parse_trace: WARNING: no process_name matched a TPU/"
+              "device lane; falling back to ALL pids (host lanes "
+              "included) — module/bandwidth tables may misattribute "
+              "host time", file=sys.stderr)
+        return set(names)
+    return dev
 
 
 _GENERATED = re.compile(r"^(jit_|jit\(|main\.|a_|then_|region)")

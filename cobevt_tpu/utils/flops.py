@@ -134,8 +134,17 @@ def utilization(costs: dict, seconds_per_call: float, device=None) -> dict:
     h = hbm_util(costs.get("bytes"), seconds_per_call, device)
     g = (costs["bytes"] / seconds_per_call / 1e9
          if costs.get("bytes") and seconds_per_call > 0 else None)
-    return {
+    out = {
         "mfu": round(m, 4) if m is not None else None,
         "hbm_util": round(h, 4) if h is not None else None,
         "hbm_gbs": round(g, 1) if g is not None else None,
     }
+    if h is not None and h > 1.0:
+        # >100% of the bus is physically impossible: the cost model's
+        # logical byte count exceeds what actually moved (fusion elided
+        # re-reads).  Flag inline so no artifact ships an impossible
+        # bandwidth unmarked; trace-attributed GB/s (parse_trace
+        # --bandwidth) is the meter.
+        out["hbm_flag"] = ("cost-model logical bytes > physical peak; "
+                           "not achieved bandwidth — see trace_gbs")
+    return out
