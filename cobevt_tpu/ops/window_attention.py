@@ -171,17 +171,39 @@ def _forward_core(q, k, v, bias, mask, use_pallas: bool,
 # similarity tensor is rebuilt in the backward pass instead of saved)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _fused(q, k, v, bias, mask, use_pallas, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused(q, k, v, bias, mask, use_pallas, interpret, bwd_f32):
     return _forward_core(q, k, v, bias, mask, use_pallas, interpret)
 
 
-def _fused_fwd(q, k, v, bias, mask, use_pallas, interpret):
+def _fused_fwd(q, k, v, bias, mask, use_pallas, interpret, bwd_f32):
     out = _forward_core(q, k, v, bias, mask, use_pallas, interpret)
     return out, (q, k, v, bias, mask, out)
 
 
-def _fused_bwd(use_pallas, interpret, res, g):
+def _bwd_f32_enabled() -> bool:
+    """COBEVT_FLASH_BWD_F32=1 keeps the flash backward's (Tq,Tk)-sized
+    epilogue tensors (da/p/dsim) in f32 instead of the input dtype — the
+    control used by tools/validate_kernels.py --train to pin the shipped
+    bf16-cast grad drift as a measured bound rather than an assumption.
+    Read per call and threaded as a nondiff/static arg (a read inside
+    the custom_vjp bwd rule would be frozen by its global trace cache,
+    which keys on avals only)."""
+    import os
+
+    return os.environ.get("COBEVT_FLASH_BWD_F32", "0") == "1"
+
+
+def _bwd_dtype(input_dtype, bwd_f32):
+    """Epilogue dtype for the flash backward's (Tq,Tk)-sized tensors.
+
+    Default: the input dtype (bf16 in shipped training) — halves the HBM
+    bytes of the da/p/dsim tensors, at the cost of rounding da before
+    the cancellation-prone softmax correction (ds - s)."""
+    return jnp.float32 if bwd_f32 else input_dtype
+
+
+def _fused_bwd(use_pallas, interpret, bwd_f32, res, g):
     # Flash-style recompute backward.  Two deliberate choices keep it
     # HBM-cheap at training's bf16 dtype (profiled: the earlier all-f32
     # formulation materialized three f32 (G,H,Tq,Tk) tensors — 1.3GB
@@ -194,7 +216,7 @@ def _fused_bwd(use_pallas, interpret, res, g):
     #     (preferred_element_type).  With f32 inputs (CPU tests) this
     #     is a no-op.
     q, k, v, bias, mask, out = res
-    dt = q.dtype
+    dt = _bwd_dtype(q.dtype, bwd_f32)
     sim = jnp.einsum("ghqd,ghkd->ghqk", q, k,
                      preferred_element_type=jnp.float32)
     if bias is not None:
@@ -298,12 +320,20 @@ def _packed_kernel(q_ref, k_ref, v_ref, *rest, n_heads, tq_blk,
     o_ref = next(it)
     kbd_ref = next(it)
     vbd_ref = next(it)
+    bm_ref = next(it)
 
     Tk, C = k_ref.shape[1], k_ref.shape[2]
 
+    # the 0/1 head block-structure is grid-invariant: build it once at
+    # the first grid step (iota compares are pure VPU but measurable at
+    # hundreds of windows/frame), reuse from scratch for every window
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        bm_ref[...] = _head_blockmask(n_heads, Tk, C, k_ref.dtype)
+
     @pl.when(pl.program_id(1) == 0)
     def _():
-        bm = _head_blockmask(n_heads, Tk, C, k_ref.dtype)
+        bm = bm_ref[...]
         kbd_ref[...] = jnp.concatenate([k_ref[0]] * n_heads, axis=0) * bm
         vbd_ref[...] = jnp.concatenate([v_ref[0]] * n_heads, axis=0) * bm
 
@@ -431,17 +461,23 @@ def _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
                                     mask, w4)
         return _packed_from_4d(out)
 
-    # VMEM budget per query block: sim f32 + e (+ double-buffered bias
-    # f32 / weight blocks when present); leave headroom for k/v/tiled
-    # block-diag buffers
-    budget = 6 * 1024 * 1024
+    # VMEM budget per query block: sim f32 + e + the bias-slice temp (+
+    # double-buffered weight blocks when present).  The resident bias /
+    # block-diag scratch are charged separately in `resident`.  Prefer
+    # ONE block covering all of Tq: at the cooperative-LiDAR fusion
+    # shape (G=264, Tq=320, HTk=1280) the 3-block/384-pad split ran
+    # 1584 grid steps per call at ~1.4us/step against 0.43us of MXU
+    # work — measured 3.01 -> 1.4ms/call from this sizing alone.
+    budget = 16 * 1024 * 1024
     per_row = HTk * (4 + 2
-                     + (8 if bias_flat is not None else 0)
+                     + (4 if bias_flat is not None else 0)
                      + (2 * 2 if weight is not None else 0))
     tq_blk = 8
     while tq_blk < 2048 and 2 * tq_blk * per_row <= budget and \
             tq_blk < Tq:
         tq_blk *= 2
+    if tq_blk >= Tq:
+        tq_blk = -(-Tq // 8) * 8          # single block, minimal pad
     Tq_pad = -(-Tq // tq_blk) * tq_blk
     if Tq_pad != Tq:
         q = jnp.pad(q, ((0, 0), (0, Tq_pad - Tq), (0, 0)))
@@ -500,7 +536,8 @@ def _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, Tq, C), q.dtype),
         scratch_shapes=[pltpu.VMEM((HTk, C), k.dtype),
-                        pltpu.VMEM((HTk, C), v.dtype)],
+                        pltpu.VMEM((HTk, C), v.dtype),
+                        pltpu.VMEM((HTk, C), k.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(q.size + k.size + v.size) * 2 + q.size * 2,
@@ -512,21 +549,21 @@ def _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
     return out[:, :orig_tq] if orig_tq != Tq else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def _fused_packed(q, k, v, bias_flat, mask, weight, n_heads, use_pallas,
-                  interpret):
+                  interpret, bwd_f32):
     return _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
                                 use_pallas, interpret)
 
 
 def _fused_packed_fwd(q, k, v, bias_flat, mask, weight, n_heads,
-                      use_pallas, interpret):
+                      use_pallas, interpret, bwd_f32):
     out = _packed_forward_core(q, k, v, bias_flat, mask, weight, n_heads,
                                use_pallas, interpret)
     return out, (q, k, v, bias_flat, mask, weight, out)
 
 
-def _fused_packed_bwd(n_heads, use_pallas, interpret, res, g):
+def _fused_packed_bwd(n_heads, use_pallas, interpret, bwd_f32, res, g):
     # Flash-style recompute backward in the INPUT dtype (see _fused_bwd:
     # the all-f32 formulation materialized f32 (G,H,Tq,Tk) tensors in
     # HBM — ~16ms of the 94ms CorpBEVT train step).  Accumulation stays
@@ -534,7 +571,7 @@ def _fused_packed_bwd(n_heads, use_pallas, interpret, res, g):
     # sum_k ds*p = sum_d dO*O, valid with and without the multiplicative
     # post-softmax weight (O = (p*w)@v implies sum_d g*O = sum_k da*w*p).
     q, k, v, bias_flat, mask, weight, out = res
-    dt = q.dtype
+    dt = _bwd_dtype(q.dtype, bwd_f32)
     bias = (_flat_to_heads(bias_flat, n_heads)
             if bias_flat is not None else None)
     w4 = _weight_to_4d(weight, n_heads) if weight is not None else None
@@ -613,9 +650,9 @@ def fused_window_attention_packed(q, k, v, n_heads: int, bias_flat=None,
     identical utilization (measured 2.9 -> 1.5 ms per attention on the
     cooperative-LiDAR fusion).  Groups are independent heads — the
     same math."""
-    flash = _flash_bwd_enabled()
     return _fwa_packed_jit(q, k, v, bias_flat, mask, weight, n_heads,
-                           use_pallas, interpret, flash)
+                           use_pallas, interpret, _flash_bwd_enabled(),
+                           _bwd_f32_enabled())
 
 
 def _flash_bwd_enabled() -> bool:
@@ -632,9 +669,9 @@ def _flash_bwd_enabled() -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("n_heads", "use_pallas", "interpret",
-                                    "flash"))
+                                    "flash", "bwd_f32"))
 def _fwa_packed_jit(q, k, v, bias_flat, mask, weight, n_heads,
-                    use_pallas, interpret, flash):
+                    use_pallas, interpret, flash, bwd_f32):
     if not flash:
         return _packed_forward_core(q, k, v, bias_flat, mask, weight,
                                     n_heads, False, False)
@@ -652,10 +689,10 @@ def _fwa_packed_jit(q, k, v, bias_flat, mask, weight, n_heads,
                   else weight[:, :, i * g * Tk:(i + 1) * g * Tk])
             outs.append(_fused_packed(q[..., ch], k[..., ch], v[..., ch],
                                       bf, mask, wt, g, use_pallas,
-                                      interpret))
+                                      interpret, bwd_f32))
         return jnp.concatenate(outs, axis=-1)
     return _fused_packed(q, k, v, bias_flat, mask, weight, n_heads,
-                         use_pallas, interpret)
+                         use_pallas, interpret, bwd_f32)
 
 
 def fused_window_attention(q, k, v, bias=None, mask=None,
@@ -668,12 +705,13 @@ def fused_window_attention(q, k, v, bias=None, mask=None,
     matrix in XLA (nothing large is saved).  `interpret=True` runs the
     kernel body in interpreter mode (CPU testing)."""
     return _fwa_jit(q, k, v, bias, mask, use_pallas, interpret,
-                    _flash_bwd_enabled())
+                    _flash_bwd_enabled(), _bwd_f32_enabled())
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("use_pallas", "interpret", "flash"))
-def _fwa_jit(q, k, v, bias, mask, use_pallas, interpret, flash):
+                   static_argnames=("use_pallas", "interpret", "flash",
+                                    "bwd_f32"))
+def _fwa_jit(q, k, v, bias, mask, use_pallas, interpret, flash, bwd_f32):
     if not flash:
         return _forward_core(q, k, v, bias, mask, False, False)
-    return _fused(q, k, v, bias, mask, use_pallas, interpret)
+    return _fused(q, k, v, bias, mask, use_pallas, interpret, bwd_f32)
