@@ -190,6 +190,58 @@ def test_packed_kernel_gradients_match_xla(use_weight):
                                    atol=5e-3, rtol=1e-2)
 
 
+@pytest.mark.parametrize("use_bias,use_mask", [(False, False),
+                                               (True, False),
+                                               (False, True),
+                                               (True, True)])
+def test_packed_pallas_bwd_kernel_matches_xla(use_bias, use_mask):
+    """The whole-window Pallas flash backward (kernel body on CPU via
+    interpret mode) vs stock XLA autodiff.  Shapes chosen to satisfy
+    _packed_bwd_pallas_ok (C%128==0, Tq/Tk%8==0) so the kernel path is
+    actually taken — asserted via a call-counter monkeypatch."""
+    import jax
+    from cobevt_tpu.ops import window_attention as wa
+
+    H = 4
+    q, k, v, bias, mask, _ = packed_data(G=3, H=H, Tq=64, Tk=64, D=32)
+    b = bias if use_bias else None
+    m = mask if use_mask else None
+    assert wa._packed_bwd_pallas_ok(q, k, b, None, H)
+
+    calls = []
+    orig = wa._packed_bwd_pallas
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    wa._packed_bwd_pallas = spy
+    try:
+        def loss_fused(q, k, v, b):
+            out = wa.fused_window_attention_packed(
+                q, k, v, H, bias_flat=b, mask=m, interpret=True)
+            return (out ** 2).sum()
+
+        def loss_ref(q, k, v, b):
+            out = wa._packed_forward_core(q, k, v, b, m, None, H,
+                                          use_pallas=False,
+                                          interpret=False)
+            return (out ** 2).sum()
+
+        argnums = (0, 1, 2, 3) if use_bias else (0, 1, 2)
+        args = (q, k, v, b)
+        gf = jax.grad(loss_fused, argnums=argnums)(*args)
+        gr = jax.grad(loss_ref, argnums=argnums)(*args)
+    finally:
+        wa._packed_bwd_pallas = orig
+    assert calls, "Pallas backward kernel was not taken"
+    names = ("dq", "dk", "dv", "dbias")
+    for name, a, b_ in zip(names, gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-3, rtol=1e-2,
+                                   err_msg=name)
+
+
 def test_selfattention_training_uses_fused_kernel():
     """The corpbevt-default SelfAttention (dropout 0.1) must route
     through the Pallas kernel in training — assert via jaxpr."""
