@@ -27,6 +27,7 @@ from cobevt_tpu.nn.layers import DenseParams, LNParams, gelu, layer_norm
 from cobevt_tpu.ops.fused_swap_fusion import (
     _pack_layer_params,
     fused_swap_fusion,
+    fused_swap_fusion_streaming,
 )
 from cobevt_tpu.ops.window_attention import fused_window_attention_packed
 
@@ -393,10 +394,24 @@ class SwapFusionEncoder(nn.Module):
         fits = (H % w == 0 and W % w == 0
                 and T * heads * T * 4 <= int(2.5 * 2 ** 20)
                 and L * H * W * d * 2 <= int(2.5 * 2 ** 20))
-        if (not train) and fits and mode != "0" and \
-                (jax.default_backend() == "tpu" or mode == "force"):
-            return self._fused_eval(x, mask, agent_mask,
-                                    interpret=mode == "force")
+        # streaming variant for states too large to keep whole-resident
+        # (cooperative-LiDAR fusion: (5, 96, 176, 256) = 43 MB): one
+        # window per grid step, weights/bias resident, factor-swap
+        # transposes between the window/grid halves in XLA
+        n_win = (H // w) * (W // w) if H % w == 0 and W % w == 0 else 0
+        streams = (H % w == 0 and W % w == 0 and d % 128 == 0
+                   and T % 8 == 0
+                   and (w % 8 == 0 or w == W)     # legal TPU block shape
+                   and (n_win % 8 == 0 or n_win <= 8)
+                   and T * heads * T * 4 <= 8 * 2 ** 20)
+        interpret = mode in ("force", "force-stream")
+        if (not train) and (fits or streams) and mode != "0" and \
+                (jax.default_backend() == "tpu" or interpret):
+            return self._fused_eval(
+                x, mask, agent_mask,
+                streaming=(streams and
+                           (not fits or mode == "force-stream")),
+                interpret=interpret)
 
         for i in range(self.depth):
             x = SwapFusionBlock(self.input_dim, self.mlp_dim, self.dim_head,
@@ -414,7 +429,8 @@ class SwapFusionEncoder(nn.Module):
         return nn.Dense(self.input_dim, dtype=self.dtype,
                         name="mlp_head_3")(x)
 
-    def _fused_eval(self, x, mask, agent_mask, interpret=False):
+    def _fused_eval(self, x, mask, agent_mask, streaming=False,
+                    interpret=False):
         B, L, H, W, d = x.shape
         w = self.window_size
         T = L * w * w
@@ -464,7 +480,9 @@ class SwapFusionEncoder(nn.Module):
         am8 = jnp.broadcast_to(
             am.astype(jnp.float32)[:, None, :], (B, 8, L))
 
-        return fused_swap_fusion(
+        fn = fused_swap_fusion_streaming if streaming else \
+            fused_swap_fusion
+        return fn(
             x.astype(dtype), mask_add, am8, bias_stack, layer_params,
             head_params, window=w, heads=heads, mlp=self.mlp_dim,
             p_slices=p_slices,

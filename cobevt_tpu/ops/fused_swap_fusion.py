@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cobevt_tpu.ops.fused_cross_attention import _gelu_exact, _ln_f32
 from cobevt_tpu.ops.window_attention import (
+    VMEM_CEILING,
     _head_blockmask,
     _head_expander,
     _head_indicator,
@@ -289,3 +290,186 @@ def fused_swap_fusion(x, mask_add, agent_mask, bias_stack, layer_params,
             transcendentals=B * depth * 2 * n_win * T * heads * T),
         interpret=interpret,
     )(x, mask_add, agent_mask, bias_stack, layer_params, head_params)
+
+
+# ---------------------------------------------------------------------------
+# streaming variant: window-at-a-time, for states too large to keep
+# resident (the cooperative-LiDAR fusion is (5, 96, 176, 256) = 43 MB)
+# ---------------------------------------------------------------------------
+#
+# Same packed parameter/bias/mask format as the monolithic kernel, but
+# the grid walks (batch, x-tile, y-tile) and each step applies ONE
+# sublayer (LN -> QKV -> grouped block-diagonal attention -> out-proj ->
+# residual -> LN -> FFN -> residual) to one window block; weights and
+# the (T, heads*T) bias stay resident across steps.  The four sublayers
+# of each SwapFusionBlock run as four pallas_calls with an XLA
+# factor-swap transpose between the window and grid halves (the same
+# data movement the stock module path pays in its rearranges).  Heads
+# are split into 128-channel groups inside the kernel so the
+# block-diagonal FLOP inflation is 128/dim_head, not heads (measured on
+# the per-attention kernel: the H=8/D=32 ungrouped form doubles MXU
+# work for nothing).
+
+
+def _grouped_attn(q, k, v, heads, bias, mask_row):
+    """_attn_bias_mask with heads split into 128-channel groups; bias /
+    mask columns per head are contiguous so groups slice cleanly."""
+    Tk, C = k.shape
+    D = C // heads
+    g_heads = max(1, 128 // D)
+    if D >= 128 or heads <= g_heads or heads % g_heads:
+        return _attn_bias_mask(q, k, v, heads, bias, mask_row)
+    outs = []
+    gC = g_heads * D
+    for gi in range(heads // g_heads):
+        ch = slice(gi * gC, (gi + 1) * gC)
+        cols = slice(gi * g_heads * Tk, (gi + 1) * g_heads * Tk)
+        outs.append(_attn_bias_mask(
+            q[:, ch], k[:, ch], v[:, ch], g_heads,
+            bias[:, cols], mask_row[:, cols]))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _stream_kernel(x_ref, ma_ref, b_ref, p_ref, o_ref, *, L, w, D, heads,
+                   mlp, p_slices, compute_dtype, Y, nblk):
+    T = L * w * w
+    scale = (D // heads) ** -0.5
+    # this window's additive mask row out of the 8-window mask block
+    # (sublane-divisibility: a (1, hT) block on the n_win axis is not a
+    # legal TPU block shape).  Selected with a one-hot matmul: a
+    # dynamic sublane slice leaves an unknown-offset layout Mosaic
+    # cannot re-broadcast.
+    wi = pl.program_id(1) * Y + pl.program_id(2)
+    rowsel = (jax.lax.broadcasted_iota(jnp.int32, (1, nblk), 1)
+              == wi % nblk).astype(jnp.float32)
+    mask_row = jax.lax.dot_general(
+        rowsel, ma_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (1, heads*T)
+
+    def pget(name):
+        lo, hi = p_slices[name]
+        return p_ref[0, 0, lo:hi, :]
+
+    g_a, b_a = pget("ln_a")[0, :D], pget("ln_a")[1, :D]
+    wqkv = pget("wqkv")[:, :3 * D]
+    wout = pget("wout")[:, :D]
+    g_f, b_f = pget("ln_f")[0, :D], pget("ln_f")[1, :D]
+    w1 = pget("w1")[:, :mlp]
+    w2 = pget("w2")[:, :D]
+    fb = pget("fbias")
+    b1, b2 = fb[0, :mlp], fb[1, :D]
+
+    tok = x_ref[0].reshape(T, D)
+    t = _ln_f32(tok, g_a, b_a).astype(compute_dtype)
+    qkv = lax.dot_general(t, wqkv, (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    qkv = qkv.astype(compute_dtype)
+    q = qkv[:, :D] * scale
+    att = _grouped_attn(q, qkv[:, D:2 * D], qkv[:, 2 * D:], heads,
+                        b_ref[0, 0], mask_row)
+    att = lax.dot_general(att.astype(compute_dtype), wout,
+                          (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    x1 = tok.astype(jnp.float32) + att
+    x1c = x1.astype(compute_dtype)
+    f = _ln_f32(x1c, g_f, b_f).astype(compute_dtype)
+    f = lax.dot_general(f, w1, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) + b1[None, :]
+    f = _gelu_exact(f).astype(compute_dtype)
+    f = lax.dot_general(f, w2, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) + b2[None, :]
+    o_ref[0] = (x1 + f).astype(o_ref.dtype).reshape(L, w, w, D)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "heads", "mlp", "p_slices",
+                              "mean_over_valid", "interpret"))
+def fused_swap_fusion_streaming(x, mask_add, agent_mask, bias_stack,
+                                layer_params, head_params, window: int,
+                                heads: int, mlp: int, p_slices,
+                                mean_over_valid: bool = False,
+                                interpret: bool = False):
+    """Same contract as `fused_swap_fusion` for states that exceed the
+    whole-resident VMEM budget."""
+    B, L, H, W, D = x.shape
+    depth = bias_stack.shape[0]
+    w = window
+    X, Y = H // w, W // w
+    T = L * w * w
+    n_win = X * Y
+    bias_stack = bias_stack.astype(jnp.float32)
+    mask_add = mask_add.astype(jnp.float32)
+
+    nblk = 8 if n_win % 8 == 0 else n_win
+    kernel = functools.partial(
+        _stream_kernel, L=L, w=w, D=D, heads=heads, mlp=mlp,
+        p_slices=dict(p_slices), compute_dtype=x.dtype, Y=Y, nblk=nblk)
+
+    def sublayer(xw, d, half):
+        return pl.pallas_call(
+            kernel,
+            grid=(B, X, Y),
+            in_specs=[
+                pl.BlockSpec((1, L, w, w, D),
+                             lambda b, xi, yi: (b, 0, xi, yi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, nblk, heads * T),
+                             lambda b, xi, yi:
+                             (b, half, (xi * Y + yi) // nblk, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, T, heads * T),
+                             lambda b, xi, yi: (d, half, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1) + tuple(layer_params.shape[2:]),
+                             lambda b, xi, yi: (d, half, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, L, w, w, D),
+                                   lambda b, xi, yi: (b, 0, xi, yi, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, L, H, W, D), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=B * n_win * (
+                    # qkv + out projections + FFN per token
+                    T * 2 * (3 * D * D + D * D + 2 * D * mlp)
+                    # grouped block-diagonal attention (two matmuls,
+                    # contraction width 128 per group)
+                    + 4 * T * T * 128 * max(
+                        1, heads // max(1, 128 // (D // heads)))),
+                bytes_accessed=x.size * 2 * 2,
+                transcendentals=B * n_win * T * heads * T),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(
+                    T * heads * T * 4 + 24 * 1024 * 1024, VMEM_CEILING)),
+            interpret=interpret,
+        )(xw, mask_add, bias_stack, layer_params)
+
+    def to_grid(z):
+        # window layout rows (x, w1) -> grid layout rows (w1, x) tiled
+        return z.reshape(B, L, w, X, w, Y, D) \
+            .transpose(0, 1, 3, 2, 5, 4, 6).reshape(B, L, H, W, D)
+
+    def from_grid(z):
+        return z.reshape(B, L, X, w, Y, w, D) \
+            .transpose(0, 1, 3, 2, 5, 4, 6).reshape(B, L, H, W, D)
+
+    for d in range(depth):
+        x = sublayer(x, d, 0)
+        x = from_grid(sublayer(to_grid(x), d, 1))
+
+    g_h, b_h = head_params[0, :D], head_params[1, :D]
+    w_h = head_params[2:2 + D, :D]
+    bias_h = head_params[2 + D, :D]
+    state = x.astype(jnp.float32)
+    if mean_over_valid:
+        am = agent_mask[:, 0, :].astype(jnp.float32)   # (B, L)
+        wsum = (state * am[:, :, None, None, None]).sum(axis=1)
+        pooled = wsum / jnp.maximum(am.sum(axis=1), 1.0)[
+            :, None, None, None]
+    else:
+        pooled = state.mean(axis=1)
+    t = _ln_f32(pooled.astype(x.dtype), g_h, b_h).astype(x.dtype)
+    y = jnp.einsum("bhwc,cd->bhwd", t, w_h.astype(x.dtype),
+                   preferred_element_type=jnp.float32) \
+        + bias_h.astype(jnp.float32)[None, None, None, :]
+    return y.astype(x.dtype)

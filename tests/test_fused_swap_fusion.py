@@ -58,3 +58,41 @@ def test_param_tree_identical(monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(v_train),
                     jax.tree_util.tree_leaves(v_eval)):
         assert a.shape == b.shape
+
+
+@pytest.mark.parametrize("masked", [True, False])
+@pytest.mark.parametrize("dim,dim_head", [(128, 32), (256, 32)])
+def test_streaming_matches_stock(masked, dim, dim_head, monkeypatch):
+    """The streaming (window-at-a-time) kernel vs the stock module path,
+    kernel body in interpreter mode on CPU.  dim=256/dim_head=32 takes
+    the grouped block-diagonal branch (2x 128-channel groups); 128/32
+    the ungrouped one."""
+    rng = np.random.RandomState(1)
+    B, L, H, W = 1, 3, 16, 16
+    enc = SwapFusionEncoder(
+        input_dim=dim, mlp_dim=2 * dim, agent_size=L, window_size=8,
+        dim_head=dim_head, dropout=0.0, depth=2, mask=masked)
+    x = jnp.asarray(rng.randn(B, L, H, W, dim), jnp.float32)
+    mask = jnp.asarray((rng.rand(B, L, H, W) > 0.3).astype(np.float32))
+    mask = mask.at[:, 0].set(1.0)
+    variables = enc.init(jax.random.PRNGKey(0), x, mask, True)
+
+    monkeypatch.setenv("COBEVT_FUSED_FUSION", "0")
+    want = enc.apply(variables, x, mask, False)
+
+    import cobevt_tpu.models.fusion.swap_fusion as sf
+
+    calls = []
+    orig = sf.fused_swap_fusion_streaming
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sf, "fused_swap_fusion_streaming", spy)
+    monkeypatch.setenv("COBEVT_FUSED_FUSION", "force-stream")
+    got = enc.apply(variables, x, mask, False)
+    assert calls, "streaming kernel path was not taken"
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-4, rtol=3e-4)
