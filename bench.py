@@ -127,6 +127,30 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"corpbevt secondary bench failed: {e}", file=sys.stderr)
 
+    # int8 serving mode (COBEVT_INT8=1): the lossy PTQ path, accuracy-
+    # gated by tools/validate_kernels.py (argmax-IoU proxy >= 0.99 vs
+    # bf16, KERNELS_r05).  Trace-time flag: set before the fresh jit.
+    try:
+        import os
+
+        os.environ["COBEVT_INT8"] = "1"
+        try:
+            model_q, batch_q, key_q = build_corpbevt(True, 5)
+            dt_q, variables_q = measure(model_q, batch_q, key_q,
+                                        K=10, K_big=60)
+        finally:
+            os.environ.pop("COBEVT_INT8", None)
+        print(json.dumps({
+            "metric": "corpbevt_5agent_int8_frames_per_sec_per_chip",
+            "value": round(1.0 / dt_q, 3),
+            "unit": "frames/s",
+            "note": "COBEVT_INT8=1 PTQ serving mode; argmax-IoU proxy "
+                    "gated >= 0.99 (KERNELS_r05.json)",
+            "vs_baseline": round((1.0 / dt_q) / 30.0, 3),
+        }), file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"corpbevt int8 bench failed: {e}", file=sys.stderr)
+
     # tertiary: the cooperative LiDAR flagship (BASELINE config #4,
     # 5-agent PointPillar + FuseBEVT at production scale) — tracked as a
     # driver artifact, not just a README claim
