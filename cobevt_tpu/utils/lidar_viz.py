@@ -266,3 +266,128 @@ def o3d_visualize_frames(frames, order: str = "hwl",
         vis.poll_events()
         vis.update_renderer()
     vis.destroy_window()
+
+
+# ---------------------------------------------------------------------------
+# self-contained interactive HTML viewer (no open3d, no network)
+# ---------------------------------------------------------------------------
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>cobevt_tpu lidar viewer</title>
+<style>
+ body {{ margin: 0; background: #000; color: #ccc;
+        font: 12px monospace; overflow: hidden; }}
+ #hud {{ position: fixed; top: 6px; left: 8px; z-index: 2; }}
+ #frame {{ width: 320px; vertical-align: middle; }}
+ canvas {{ display: block; }}
+</style></head><body>
+<div id="hud">drag: orbit &nbsp; wheel: zoom &nbsp; shift-drag: pan
+ &nbsp; <input type="range" id="frame" min="0" max="{nmax}" value="0">
+ <span id="label"></span></div>
+<canvas id="c"></canvas>
+<script>
+const FRAMES = {frames_json};
+const cv = document.getElementById("c"), ctx = cv.getContext("2d");
+let yaw = -0.7, pitch = 0.9, zoom = 6.0, panX = 0, panY = 0, fi = 0;
+function resize() {{ cv.width = innerWidth; cv.height = innerHeight;
+  draw(); }}
+function proj(x, y, z, cy, sy, cp, sp, s, w2, h2) {{
+  const x1 = cy * x - sy * y, y1 = sy * x + cy * y;
+  const y2 = cp * y1 - sp * z, z2 = sp * y1 + cp * z;
+  return [w2 + panX + x1 * s, h2 + panY + y2 * s, z2];
+}}
+function draw() {{
+  const f = FRAMES[fi], w2 = cv.width / 2, h2 = cv.height / 2;
+  const s = Math.min(cv.width, cv.height) / (2 * zoom * f.scale);
+  const cy = Math.cos(yaw), sy = Math.sin(yaw);
+  const cp = Math.cos(pitch), sp = Math.sin(pitch);
+  ctx.fillStyle = "#000"; ctx.fillRect(0, 0, cv.width, cv.height);
+  const P = f.pts, C = f.col, img = ctx.getImageData(0, 0, cv.width,
+                                                     cv.height);
+  const d = img.data, W = cv.width, H = cv.height;
+  for (let i = 0; i < P.length; i += 3) {{
+    const p = proj(P[i], P[i+1], P[i+2], cy, sy, cp, sp, s, w2, h2);
+    const px = p[0] | 0, py = p[1] | 0;
+    if (px < 0 || px >= W || py < 0 || py >= H) continue;
+    const o = 4 * (py * W + px), ci = i;
+    d[o] = C[ci]; d[o+1] = C[ci+1]; d[o+2] = C[ci+2]; d[o+3] = 255;
+  }}
+  ctx.putImageData(img, 0, 0);
+  for (const [segs, color] of [[f.gt, "#0f0"], [f.pred, "#f00"]]) {{
+    if (!segs) continue;
+    ctx.strokeStyle = color; ctx.beginPath();
+    for (let i = 0; i < segs.length; i += 6) {{
+      const a = proj(segs[i], segs[i+1], segs[i+2], cy, sy, cp, sp, s,
+                     w2, h2);
+      const b = proj(segs[i+3], segs[i+4], segs[i+5], cy, sy, cp, sp,
+                     s, w2, h2);
+      ctx.moveTo(a[0], a[1]); ctx.lineTo(b[0], b[1]);
+    }}
+    ctx.stroke();
+  }}
+  document.getElementById("label").textContent =
+    "frame " + fi + "/" + (FRAMES.length - 1) + "  pts " +
+    (P.length / 3);
+}}
+let drag = null;
+cv.onmousedown = e => drag = [e.clientX, e.clientY, e.shiftKey];
+onmouseup = () => drag = null;
+onmousemove = e => {{
+  if (!drag) return;
+  const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
+  if (drag[2]) {{ panX += dx; panY += dy; }}
+  else {{ yaw += dx * 0.01; pitch += dy * 0.01; }}
+  drag = [e.clientX, e.clientY, drag[2]]; draw();
+}};
+onwheel = e => {{ zoom *= Math.exp(e.deltaY * 0.001); draw(); }};
+document.getElementById("frame").oninput = e => {{
+  fi = +e.target.value; draw(); }};
+onresize = resize; resize();
+</script></body></html>
+"""
+
+
+def export_html(frames, save_path: str, order: str = "hwl",
+                mode: str = "intensity", max_points: int = 60000):
+    """Write a SELF-CONTAINED interactive HTML viewer (orbit / zoom /
+    pan / frame slider) for a LiDAR frame sequence — the headless
+    answer to the reference's open3d interactive visualizer
+    (opv2v/opencood/visualization/vis_utils.py:244/:553): no display,
+    no open3d, no network; open the file in any browser.
+
+    frames: sequence of dicts with "pcd" (N, 3|4) and optional
+    "gt_boxes" / "pred_boxes" ((n, 7) center-order or (n, 8, 3)
+    corners).  Points beyond ``max_points`` are uniformly subsampled to
+    bound the file size.
+    """
+    import json
+
+    payload = []
+    for frame in frames:
+        pcd = np.asarray(frame["pcd"], np.float32)
+        if len(pcd) > max_points:
+            sel = np.linspace(0, len(pcd) - 1, max_points).astype(int)
+            pcd = pcd[sel]
+        cols = (color_encoding(
+            pcd[:, 3] if pcd.shape[1] > 3 else pcd[:, 2],
+            mode) * 255).astype(np.uint8)
+        entry = {
+            "pts": np.round(pcd[:, :3], 2).reshape(-1).tolist(),
+            "col": cols.reshape(-1).tolist(),
+            "scale": float(max(1.0, np.percentile(
+                np.abs(pcd[:, :2]), 95) / 4.0)),
+        }
+        for key, name in (("gt_boxes", "gt"), ("pred_boxes", "pred")):
+            if frame.get(key) is not None:
+                segs = box_edge_segments(frame[key], order)
+                entry[name] = np.round(
+                    segs.astype(np.float32), 2).reshape(-1).tolist()
+        payload.append(entry)
+
+    html = _HTML_TEMPLATE.format(
+        nmax=len(payload) - 1,
+        frames_json=json.dumps(payload, separators=(",", ":")))
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    with open(save_path, "w") as f:
+        f.write(html)
+    return save_path

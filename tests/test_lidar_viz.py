@@ -105,3 +105,34 @@ def test_view_lidar_cli_on_fixture(tmp_path):
     assert result.returncode == 0, result.stderr[-2000:]
     pngs = [f for f in os.listdir(out) if f.endswith(".png")]
     assert len(pngs) >= 1
+
+
+def test_export_html_interactive_viewer(tmp_path):
+    """Self-contained HTML viewer: embeds the (subsampled) points,
+    colors, and box segments; no external resources."""
+    import json
+    import re
+
+    from cobevt_tpu.utils.lidar_viz import export_html
+
+    rng = np.random.RandomState(0)
+    pts = (rng.randn(5000, 4) * [20, 10, 1.5, 1]).astype(np.float32)
+    boxes = np.array([[5, 2, -1, 1.8, 2.0, 4.5, 0.4]], np.float32)
+    path = str(tmp_path / "view.html")
+    export_html([{"pcd": pts, "gt_boxes": boxes},
+                 {"pcd": pts, "pred_boxes": boxes}], path,
+                max_points=1000)
+    html = open(path).read()
+    # no network dependencies: no external src/href anywhere
+    assert not re.search(r'(src|href)\s*=\s*"http', html)
+    m = re.search(r"const FRAMES = (\[.*?\]);\n", html, re.S)
+    assert m, "embedded frame data missing"
+    frames = json.loads(m.group(1))
+    assert len(frames) == 2
+    assert len(frames[0]["pts"]) == 3 * 1000          # subsampled
+    assert len(frames[0]["col"]) == 3 * 1000
+    assert len(frames[0]["gt"]) == 12 * 6             # 12 edges x 2 pts
+    assert "pred" in frames[1] and "gt" not in frames[1]
+    # interaction handlers present
+    for hook in ("onmousedown", "onwheel", "oninput"):
+        assert hook in html
