@@ -8,6 +8,10 @@ point cloud of all in-range agents and green GT boxes.
 
   python -m cobevt_tpu.tools.view_lidar --root <opv2v_dir> --out viz/ \
       [--view bev|3d] [--mode constant|intensity|z-value] [--max_frames N]
+
+``--html`` additionally writes ``<out>/viewer.html`` — a SELF-CONTAINED
+interactive viewer (orbit/zoom/pan + frame slider; no open3d, display,
+or network), the headless equivalent of the reference's open3d window.
 """
 
 from __future__ import annotations
@@ -26,6 +30,9 @@ def main():
                    choices=["constant", "intensity", "z-value"])
     p.add_argument("--max_frames", type=int, default=20)
     p.add_argument("--max_cav", type=int, default=5)
+    p.add_argument("--html", action="store_true",
+                   help="also write <out>/viewer.html, a self-contained "
+                        "interactive sequence viewer")
     opt = p.parse_args()
 
     import numpy as np
@@ -46,6 +53,7 @@ def main():
 
     db = OPV2VScenarioDatabase(opt.root, max_cav=opt.max_cav)
     os.makedirs(opt.out, exist_ok=True)
+    html_frames = []
     n = min(len(db), opt.max_frames)
     for idx in range(n):
         scenario, t_index = db.locate(idx)
@@ -84,6 +92,13 @@ def main():
             pcd, gt_boxes=gt, order="hwl", mode=opt.mode,
             view=opt.view,
             save_path=os.path.join(opt.out, f"frame_{idx:05d}.png"))
+        if opt.html:
+            html_frames.append({"pcd": pcd, "gt_boxes": gt})
+    if opt.html and html_frames:
+        from cobevt_tpu.utils.lidar_viz import export_html
+
+        export_html(html_frames, os.path.join(opt.out, "viewer.html"),
+                    order="hwl", mode=opt.mode)
     print(f"wrote {n} frames to {opt.out}")
 
 
