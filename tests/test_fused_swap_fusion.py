@@ -96,3 +96,28 @@ def test_streaming_matches_stock(masked, dim, dim_head, monkeypatch):
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-4, rtol=3e-4)
+
+
+def test_streaming_mean_over_valid(monkeypatch):
+    """Streaming kernel with the valid-agent pooling semantics."""
+    rng = np.random.RandomState(2)
+    B, L, H, W, dim = 1, 3, 16, 16, 128
+    enc = SwapFusionEncoder(
+        input_dim=dim, mlp_dim=2 * dim, agent_size=L, window_size=8,
+        dim_head=32, dropout=0.0, depth=1, mask=True,
+        mean_over_valid=True)
+    x = jnp.asarray(rng.randn(B, L, H, W, dim), jnp.float32)
+    mask = jnp.asarray((rng.rand(B, L, H, W) > 0.3).astype(np.float32))
+    mask = mask.at[:, 0].set(1.0)
+    agent_mask = jnp.asarray([[1.0, 1.0, 0.0]])
+    variables = enc.init(jax.random.PRNGKey(0), x, mask, True,
+                         agent_mask=agent_mask)
+
+    monkeypatch.setenv("COBEVT_FUSED_FUSION", "0")
+    want = enc.apply(variables, x, mask, False, agent_mask=agent_mask)
+
+    monkeypatch.setenv("COBEVT_FUSED_FUSION", "force-stream")
+    got = enc.apply(variables, x, mask, False, agent_mask=agent_mask)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-4, rtol=3e-4)
