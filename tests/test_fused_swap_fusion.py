@@ -98,10 +98,12 @@ def test_streaming_matches_stock(masked, dim, dim_head, monkeypatch):
                                atol=3e-4, rtol=3e-4)
 
 
-def test_streaming_mean_over_valid(monkeypatch):
-    """Streaming kernel with the valid-agent pooling semantics."""
+@pytest.mark.parametrize("B", [1, 2])
+def test_streaming_mean_over_valid(B, monkeypatch):
+    """Streaming kernel with the valid-agent pooling semantics, incl.
+    batch > 1 (the mask block index map multiplies grid coords)."""
     rng = np.random.RandomState(2)
-    B, L, H, W, dim = 1, 3, 16, 16, 128
+    L, H, W, dim = 3, 16, 16, 128
     enc = SwapFusionEncoder(
         input_dim=dim, mlp_dim=2 * dim, agent_size=L, window_size=8,
         dim_head=32, dropout=0.0, depth=1, mask=True,
@@ -109,7 +111,7 @@ def test_streaming_mean_over_valid(monkeypatch):
     x = jnp.asarray(rng.randn(B, L, H, W, dim), jnp.float32)
     mask = jnp.asarray((rng.rand(B, L, H, W) > 0.3).astype(np.float32))
     mask = mask.at[:, 0].set(1.0)
-    agent_mask = jnp.asarray([[1.0, 1.0, 0.0]])
+    agent_mask = jnp.asarray([[1.0, 1.0, 0.0]] * B)
     variables = enc.init(jax.random.PRNGKey(0), x, mask, True,
                          agent_mask=agent_mask)
 
