@@ -169,16 +169,25 @@ def validate_export(bf16: bool) -> bool:
     return ok
 
 
-def validate_train(bf16: bool) -> bool:
+def validate_train(bf16: bool, model_name: str = "corpbevt") -> bool:
     """Loss + gradients at bench shapes: shipped bf16 flash attention
     backward (+Pallas forward) vs stock XLA composite autodiff.
-    Compares loss, grad global norm, and every per-layer grad norm."""
+    Compares loss, grad global norm, and every per-layer grad norm.
+    ``--model pointpillar`` gates the cooperative-LiDAR step (detection
+    loss, whole-window Pallas attention backward at the pillar fusion
+    shape) with the same protocol."""
     import jax
 
-    from cobevt_tpu.tools.benchmark import build_corpbevt, make_criterion
+    from cobevt_tpu.tools.benchmark import (
+        build_corpbevt,
+        build_pointpillar,
+        make_criterion,
+    )
 
-    model, batch, _ = build_corpbevt(bf16, 5)
-    criterion, train_batch = make_criterion("corpbevt", model, batch)
+    builder = {"corpbevt": build_corpbevt,
+               "pointpillar": build_pointpillar}[model_name]
+    model, batch, _ = builder(bf16, 5)
+    criterion, train_batch = make_criterion(model_name, model, batch)
 
     variables = jax.jit(model.init, static_argnums=2)(
         jax.random.PRNGKey(0), train_batch, True)
@@ -250,8 +259,21 @@ def validate_train(bf16: bool) -> bool:
     # schedules, not kernel error.  A real backward bug either hits
     # large layers (relative gate) or moves a small layer materially
     # (this gate); 36%-of-0.4% is neither.
-    budget_scalar, budget_layer = 0.02, 0.06
-    material_frac = 0.01
+    # Per-model budgets, each calibrated by measurement:
+    #   corpbevt: 3x the round-4 drift (seg-CE grads carry strong
+    #     signal; flash-vs-stock gnorm rel measured 1.3e-3).
+    #   pointpillar: the detection loss at random init is
+    #     cancellation-dominated — measured on HW (round 5), BOTH bf16
+    #     paths sit far from f32-truth gradients (flash 0.73 / stock
+    #     0.58 global rel-L2), so flash-vs-stock layer deltas are
+    #     noise-on-noise (gnorm rel measured 0.044); the load-bearing
+    #     check is the loss (rel 0.0) plus trainability, verified on HW
+    #     (shipped path: bench-shape loss -47% in 30 steps).  Budgets
+    #     bound the noise band rather than pretend signal precision.
+    budget_scalar, budget_layer, material_frac = {
+        "corpbevt": (0.02, 0.06, 0.01),
+        "pointpillar": (0.10, 0.50, 0.02),
+    }[model_name]
     loss_rel = abs(loss_f - loss_s) / (abs(loss_s) + 1e-9)
     gnorm_rel = abs(gnorm_f - gnorm_s) / (gnorm_s + 1e-9)
     signal_floor = 1e-3 * gnorm_s
@@ -270,7 +292,7 @@ def validate_train(bf16: bool) -> bool:
     ok = (loss_rel <= budget_scalar and gnorm_rel <= budget_scalar and
           not layer_bad and not noise_bad)
     print(json.dumps({
-        "component": "corpbevt_train_step_flash_bwd", "ok": ok,
+        "component": f"{model_name}_train_step_flash_bwd", "ok": ok,
         "loss": {"flash": loss_f, "stock": loss_s,
                  "rel": round(loss_rel, 6)},
         "grad_norm": {"flash": round(gnorm_f, 4),
@@ -305,6 +327,9 @@ def main():
     p.add_argument("--train", action="store_true",
                    help="validate the shipped training backward instead "
                         "of the inference forwards")
+    p.add_argument("--model", default="corpbevt",
+                   choices=["corpbevt", "pointpillar"],
+                   help="which flagship train step --train gates")
     p.add_argument("--export", action="store_true",
                    help="validate the serialized StableHLO serving "
                         "artifact on the TPU (parity + latency)")
@@ -321,7 +346,7 @@ def main():
 
     bf16 = opt.dtype == "bf16"
     if opt.train:
-        return 0 if validate_train(bf16) else 1
+        return 0 if validate_train(bf16, opt.model) else 1
     if opt.export:
         return 0 if validate_export(bf16) else 1
 
